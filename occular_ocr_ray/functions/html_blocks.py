@@ -1,0 +1,145 @@
+"""HTML → candidate block stream, stdlib-only (``html.parser``).
+
+Graft analog of the reference's DBNet binarize+segment step
+(``dbnet_detector.py:136-140``): instead of thresholding a probability
+map and finding contours, we split the DOM into candidate text blocks at
+block-level tag boundaries, tracking per block the raw text, the DOM tag
+path (geometry provenance, analog of the quad), the number of characters
+inside ``<a>`` (for link-density scoring) and the inline-tag count.
+
+Deterministic: ``html.parser.HTMLParser`` with ``convert_charrefs=True``
+(entity decoding = the graft's charset/entity canonicalization, analog of
+the detection preprocess ``dbnet_detector.py:77-108``).  No external
+parser dependencies, so byte-identity is fully under our control
+(SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Block-level boundary tags (SURVEY.md §2.2 M2).  Opening OR closing one
+# of these flushes the current block.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6", "td", "th",
+        "blockquote", "pre", "article", "section", "main", "aside", "nav",
+        "header", "footer", "ul", "ol", "table", "tr", "dl", "dd", "dt",
+        "figure", "figcaption", "summary", "details", "form", "body",
+        "br", "hr",
+    }
+)
+
+# Content inside these subtrees is ignored entirely (analog of the
+# reference recognizer excluding non-text pixels).
+SKIP_TAGS = frozenset({"script", "style", "noscript", "template", "svg", "head", "title", "iframe"})
+
+# Tags that never appear on the open-tag stack (HTML void elements).
+VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "embed", "source", "track", "wbr"}
+)
+
+
+@dataclass
+class RawBlock:
+    """One candidate block: raw (pre-normalization) text plus the
+    provenance/scoring signals.  Analog of a detected contour before
+    score filtering (``dbnet_detector.py:145-155``)."""
+
+    pieces: list[str] = field(default_factory=list)
+    tag_path: str = ""
+    link_chars: int = 0
+    raw_chars: int = 0
+    n_tags: int = 0
+
+    @property
+    def raw_text(self) -> str:
+        return "".join(self.pieces)
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.skip_depth = 0
+        self.link_depth = 0
+        self.blocks: list[RawBlock] = []
+        self.cur = RawBlock()
+
+    # -- block lifecycle ------------------------------------------------
+    def _flush(self) -> None:
+        if self.cur.pieces:
+            self.blocks.append(self.cur)
+        self.cur = RawBlock()
+
+    # -- HTMLParser hooks ----------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self.skip_depth += 1
+            if tag not in VOID_TAGS:
+                self.stack.append(tag)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif self.skip_depth == 0 and self.cur.pieces:
+            self.cur.n_tags += 1
+        if tag == "a":
+            self.link_depth += 1
+        if tag not in VOID_TAGS:
+            self.stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_TAGS:
+            return
+        # Pop up to the matching open tag (lenient, like browsers).
+        if tag in self.stack:
+            while self.stack:
+                popped = self.stack.pop()
+                if popped in SKIP_TAGS:
+                    self.skip_depth = max(0, self.skip_depth - 1)
+                if popped == "a":
+                    self.link_depth = max(0, self.link_depth - 1)
+                if popped == tag:
+                    break
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif self.skip_depth == 0 and tag not in SKIP_TAGS and self.cur.pieces:
+            self.cur.n_tags += 1
+
+    def handle_data(self, data: str) -> None:
+        if self.skip_depth > 0 or not data:
+            return
+        if not self.cur.pieces:
+            self.cur.tag_path = "/".join(self.stack)
+        self.cur.pieces.append(data)
+        self.cur.raw_chars += len(data)
+        if self.link_depth > 0:
+            self.cur.link_chars += len(data)
+
+    def close(self) -> None:  # final flush
+        super().close()
+        self._flush()
+
+
+def segment_html(html: str) -> list[RawBlock]:
+    """Split an HTML document into candidate blocks in DOM order.
+
+    DOM order IS reading order for HTML (SURVEY.md §2.2 M12) — no
+    dataset-level sort is ever needed; ordering lives entirely within the
+    row.
+    """
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # Lenient like the reference's degraded-weights path
+        # (dbnet_detector.py:40-42): salvage whatever parsed.
+        p._flush()
+    return p.blocks

@@ -1,0 +1,228 @@
+"""Flagship pipeline: Common-Crawl-style ``pages`` parquet →
+``extracted`` parquet, streaming, hash-partitioned, resumable.
+
+Graft lifecycle per SURVEY.md §3: ``read_parquet(pages)`` (pruned to the
+3 columns extraction needs) → *(resume: drop completed waves)* →
+``map_batches(DensityExtractor, batch_format="pyarrow",
+concurrency=..., batch_size=...)`` → add ``part = crc32(host(url)) % P``
+→ ``write_parquet(out/data/wave=<k>/, partition_cols=["part"])`` →
+metrics rollup ``groupby(part).aggregate(Sum, Count)`` → manifest.
+
+Checkpoint/resume design (SURVEY.md §4, "north_rule: per-partition
+lineage + metrics"; Ray Data has no built-in resume):
+
+- The unit of resume is a **wave** = a deterministic subset of input
+  parquet files (round-robin by sorted file index).  Each input file is
+  read exactly once across the whole job — no per-partition re-reads.
+- A wave's output dir is overwritten idempotently; its manifest JSON
+  (wave id, input files, row count, per-part metrics, rollup digest) is
+  written ONLY after the wave's parquet is durable, via tmp+rename.
+- On restart, completed waves are skipped by manifest presence; a
+  crashed wave's partial output is deleted and recomputed, so re-runs
+  are byte-identical (the extract kernel is pure per row).
+
+Skew note (SURVEY.md §4): giant documents are NOT chunk-split —
+splitting HTML mid-document would change the parse and break
+byte-identity.  Instead skew is bounded by (a) a modest ``batch_size``
+so one giant cannot hold dozens of rows hostage, and (b) Ray Data's
+dynamic block splitting on output.  The per-row cost is linear in
+payload size, so an actor processing a giant is dense useful compute,
+not padding waste (the failure mode the reference's width-bucketing
+fought, ``recognizer_onnx.py:62-86``).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..state.registry import get_extractor
+from ..stages import extractor as _extractor_mod  # noqa: F401  (registers "density")
+
+DEFAULT_NUM_PARTS = 64
+
+
+def url_host_part(url: str, num_parts: int = DEFAULT_NUM_PARTS) -> int:
+    """Hash-partition key: crc32 of the url host, mod P.  crc32 (not
+    ``hash()``) so the key is stable across processes/runs — required
+    for resume and for cross-run output layout stability."""
+    try:
+        host = url.split("/", 3)[2]
+    except IndexError:
+        host = url
+    return zlib.crc32(host.encode("utf-8")) % num_parts
+
+
+def _add_part(num_parts: int):
+    def add_part(batch: pa.Table) -> pa.Table:
+        parts = [url_host_part(u, num_parts) for u in batch["url"].to_pylist()]
+        return batch.append_column("part", pa.array(parts, type=pa.int32()))
+
+    return add_part
+
+
+def extract_dataset(
+    ds: rd.Dataset,
+    *,
+    extractor: str = "density",
+    concurrency=None,
+    batch_size: int = 32,
+    num_parts: int | None = None,
+) -> rd.Dataset:
+    """The core transform: pages Dataset → extracted Dataset.
+
+    ``concurrency=None`` → stateless tasks (elastic, good default on a
+    shared cluster); an int or (min, max) → actor pool of that size
+    (the stateful-stage shape; required once extractors hold heavy
+    state).  ``num_cpus`` stays 1: the kernel is pure Python, no
+    intra-op threading to oversubscribe (cf. the reference's ORT
+    ``intra_op_num_threads`` pitfall, ``dbnet_detector_onnx.py:31``).
+    """
+    cls = get_extractor(extractor)
+    if concurrency is None:
+        out = ds.map_batches(
+            cls(), batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
+    else:
+        out = ds.map_batches(
+            cls,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    if num_parts:
+        out = out.map_batches(_add_part(num_parts), batch_format="pyarrow")
+    return out
+
+
+def _wave_of(file_index: int, num_waves: int) -> int:
+    return file_index % num_waves
+
+
+def list_input_files(input_dir: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
+
+
+def run_extraction(
+    input_dir: str,
+    output_dir: str,
+    *,
+    num_waves: int = 4,
+    resume: bool = True,
+    extractor: str = "density",
+    concurrency=None,
+    batch_size: int = 32,
+    num_parts: int = 16,
+) -> dict:
+    """Run (or resume) the flagship job.  Returns a summary dict with
+    per-wave status and global totals."""
+    files = list_input_files(input_dir)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    manifest_dir = os.path.join(output_dir, "manifest")
+    data_dir = os.path.join(output_dir, "data")
+    os.makedirs(manifest_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+
+    waves: dict[int, list[str]] = {}
+    for idx, f in enumerate(files):
+        waves.setdefault(_wave_of(idx, num_waves), []).append(f)
+
+    summary = {"waves": {}, "totals": {"rows": 0, "bytes_emitted": 0, "blocks_kept": 0}}
+    for k in sorted(waves):
+        man_path = os.path.join(manifest_dir, f"wave_{k}.json")
+        if resume and os.path.exists(man_path):
+            with open(man_path) as fh:
+                man = json.load(fh)
+            summary["waves"][k] = {"status": "skipped", **man["totals"]}
+        else:
+            man = _run_wave(
+                k, waves[k], data_dir, man_path,
+                extractor=extractor, concurrency=concurrency,
+                batch_size=batch_size, num_parts=num_parts,
+            )
+            summary["waves"][k] = {"status": "ran", **man["totals"]}
+        summary["totals"]["rows"] += man["totals"]["rows"]
+        summary["totals"]["bytes_emitted"] += man["totals"]["bytes_emitted"]
+        summary["totals"]["blocks_kept"] += man["totals"]["blocks_kept"]
+    return summary
+
+
+def _run_wave(
+    k: int,
+    files: list[str],
+    data_dir: str,
+    man_path: str,
+    *,
+    extractor: str,
+    concurrency,
+    batch_size: int,
+    num_parts: int,
+) -> dict:
+    wave_dir = os.path.join(data_dir, f"wave={k}")
+    if os.path.exists(wave_dir):  # partial output from a crashed run
+        shutil.rmtree(wave_dir)
+
+    # Prune at the read: extraction needs only these three columns.
+    ds = rd.read_parquet(files, columns=["url", "html", "text"])
+    out = extract_dataset(
+        ds, extractor=extractor, concurrency=concurrency,
+        batch_size=batch_size, num_parts=num_parts,
+    )
+    out.write_parquet(wave_dir, partition_cols=["part"])
+
+    # Metrics rollup from the durable output (columnar read-back of the
+    # three tiny metric columns — never re-runs extraction).
+    metrics = rd.read_parquet(
+        wave_dir, columns=["n_blocks_kept", "n_blocks_dropped", "bytes_emitted", "part"]
+    )
+    roll = (
+        metrics.groupby("part")
+        .aggregate(
+            Sum("n_blocks_kept", alias_name="blocks_kept"),
+            Sum("n_blocks_dropped", alias_name="blocks_dropped"),
+            Sum("bytes_emitted", alias_name="bytes_emitted"),
+            Count(alias_name="rows"),
+        )
+        .to_pandas()
+        .sort_values("part")
+    )
+    per_part = [
+        {kk: int(v) for kk, v in row.items()} for row in roll.to_dict("records")
+    ]
+    totals = {
+        "rows": int(roll["rows"].sum()),
+        "blocks_kept": int(roll["blocks_kept"].sum()),
+        "blocks_dropped": int(roll["blocks_dropped"].sum()),
+        "bytes_emitted": int(roll["bytes_emitted"].sum()),
+    }
+    digest = hashlib.md5(
+        json.dumps(per_part, sort_keys=True).encode()
+    ).hexdigest()
+    man = {
+        "wave": k,
+        "files": files,
+        "num_parts": num_parts,
+        "per_part": per_part,
+        "totals": totals,
+        "rollup_digest": digest,
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh, indent=1)
+    os.replace(tmp, man_path)  # manifest durable only after output is
+    return man
+
+
+def read_extracted(output_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(output_dir, "data"), columns=columns)

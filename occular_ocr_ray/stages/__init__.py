@@ -1,0 +1,1 @@
+"""Ray ``map_batches`` stages (stateless fns + actor-pool classes)."""
