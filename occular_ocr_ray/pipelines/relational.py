@@ -1,0 +1,421 @@
+"""Relational query surface over the driver's testdata tables —
+``__ray_entry__.py`` ``queries()`` backing.
+
+Every query is Ray-Data-first and scale-shaped (SURVEY.md §2.4-§2.6,
+ray_guide patterns):
+
+- grouped aggregates pre-aggregate per batch (map-side combine) before
+  the small ``groupby`` over partials — the shuffle moves partial rows,
+  not the fact table;
+- small dimension sides are broadcast (``ray.put`` once, dict lookup in
+  the batch fn) — no shuffle join for dim tables;
+- the one large-large join uses ``Dataset.join`` (hash-partitioned);
+- computed/aggregate columns carry the SAME names as the oracle SQL in
+  ``__ray_entry__.py`` (driver hash-compare requirement).
+
+Float note: aggregate outputs are rounded (2-6 decimals, mirrored in the
+SQL) so value-hash comparison is insensitive to summation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+
+
+def _round_away(x, ndigits: int):
+    """DuckDB-compatible rounding: round(x, n) = std::round(x*10^n)/10^n,
+    half away from zero — pandas/pyarrow default to half-to-even, which
+    diverges on exact .5 scaled values (~1% of 2-decimal money math)."""
+    scale = 10.0 ** ndigits
+    arr = np.asarray(x, dtype=np.float64)
+    out = np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+    return pd.Series(out, index=x.index) if isinstance(x, pd.Series) else out
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _partial_groupby(ds, keys: list[str], build_partials, agg_specs: list[tuple[str, str]]):
+    """Map-side combine: ``build_partials`` turns a pandas batch into
+    per-key partial rows; a small groupby+Sum merges the partials."""
+    partials = ds.map_batches(build_partials, batch_format="pandas")
+    aggs = [Sum(col, alias_name=col) for col, _ in agg_specs]
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+# --- TPC-H-flavoured ---------------------------------------------------
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 shape: grouped sums/avgs over lineitem with map-side
+    partial aggregation."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            disc_price=df["l_extendedprice"] * (1 - df["l_discount"]),
+            one=np.int64(1),
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("one", "sum"),
+        )
+        return g
+
+    out = _partial_groupby(
+        ds, ["l_returnflag", "l_linestatus"], partials,
+        [("sum_qty", "f"), ("sum_base_price", "f"), ("sum_disc_price", "f"),
+         ("sum_disc", "f"), ("count_order", "i")],
+    ).to_pandas()
+    out["avg_qty"] = _round_away(out["sum_qty"] / out["count_order"], 4)
+    out["avg_disc"] = _round_away(out["sum_disc"] / out["count_order"], 4)
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        out[c] = _round_away(out[c], 2)
+    out = out.drop(columns=["sum_disc"])
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def _broadcast_map(sf_dir: str, table: str, key: str, val_builder) -> dict:
+    """Read a small dimension table driver-side (pyarrow, no Ray) and
+    build key → value.  ``val_builder(tbl) -> dict``."""
+    tbl = pq.read_table(f"{sf_dir}/{table}.parquet")
+    return val_builder(tbl)
+
+
+def revenue_by_region(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ supplier ⋈ nation ⋈ region via a broadcast
+    suppkey→region-name dict (dims are tiny; no shuffle join)."""
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    r2name = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    s2region = {
+        s: r2name[n2r[n]]
+        for s, n in zip(sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist())
+    }
+    ref = ray.put(s2region)
+    ds = _t(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        df = df.assign(
+            r_name=df["l_suppkey"].map(lookup),
+            revenue=df["l_extendedprice"] * (1 - df["l_discount"]),
+            n_items=np.int64(1),
+        )
+        return df.groupby("r_name", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum")
+        )
+
+    out = _partial_groupby(ds, ["r_name"], partials,
+                           [("revenue", "f"), ("n_items", "i")]).to_pandas()
+    out["revenue"] = _round_away(out["revenue"], 2)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def segment_order_stats(sf_dir: str) -> pd.DataFrame:
+    """orders ⋈ customer (broadcast custkey→mktsegment) grouped stats."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    c2seg = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(c2seg)
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        df = df.assign(c_mktsegment=df["o_custkey"].map(lookup), n_orders=np.int64(1))
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_revenue=("o_totalprice", "sum")
+        )
+
+    out = _partial_groupby(ds, ["c_mktsegment"], partials,
+                           [("n_orders", "i"), ("total_revenue", "f")]).to_pandas()
+    out["total_revenue"] = _round_away(out["total_revenue"], 2)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def orders_join_priority(sf_dir: str) -> pd.DataFrame:
+    """Large-large hash join: lineitem ⋈ orders with ``Dataset.join``
+    (hash-partitioned on the key), then grouped revenue by priority."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(orders, "inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1 - df["l_discount"]), n_items=np.int64(1)
+        )
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum")
+        )
+
+    out = _partial_groupby(joined, ["o_orderpriority"], partials,
+                           [("revenue", "f"), ("n_items", "i")]).to_pandas()
+    out["revenue"] = _round_away(out["revenue"], 2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def top_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-10 orders by total price (distributed sort + limit; no
+    arithmetic → exact value match)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+def filter_project_revenue(sf_dir: str) -> pd.DataFrame:
+    """Vectorized filter + computed projection (pyarrow.compute)."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(pd.Timestamp("1995-06-01"), type=pa.timestamp("us"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["l_shipdate"], cutoff),
+            pc.greater(batch["l_discount"], 0.05),
+        )
+        b = batch.filter(m)
+        rev_np = _round_away(
+            pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])).to_numpy(
+                zero_copy_only=False
+            ),
+            2,
+        )
+        rev = pa.array(rev_np, pa.float64())
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "l_linenumber": b["l_linenumber"], "revenue": rev}
+        )
+
+    return (
+        ds.map_batches(f, batch_format="pyarrow")
+        .sort(["l_orderkey", "l_linenumber"])
+        .to_pandas()
+    )
+
+
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": pd.Series(vals, dtype="object")})
+
+
+# --- events ------------------------------------------------------------
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window (1h) grouped aggregate; window key emitted as a
+    formatted string so the hash compare is dtype-stable."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
+            n_events=np.int64(1),
+        )
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("value", "sum")
+        )
+
+    out = _partial_groupby(ds, ["event_type", "hour"], partials,
+                           [("n_events", "i"), ("sum_value", "f")]).to_pandas()
+    out["sum_value"] = _round_away(out["sum_value"], 2)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization: 30-min inactivity gap, per user.  Ordering
+    assumption: within a (user) group we sort by (ts, event_id) — the
+    total tie-break the oracle SQL mirrors."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff()
+        n = int((gaps.isna() | (gaps > pd.Timedelta(minutes=30))).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [np.int64(n)]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+# --- documents / text --------------------------------------------------
+def docs_lang_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_docs=np.int64(1))
+        return df.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"), total_chars=("n_chars", "sum")
+        )
+
+    out = _partial_groupby(ds, ["lang"], partials,
+                           [("n_docs", "i"), ("total_chars", "i")]).to_pandas()
+    out["avg_chars"] = _round_away(out["total_chars"] / out["n_docs"], 2)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def token_counts(sf_dir: str) -> pd.DataFrame:
+    from ..functions.textstats import token_count
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = [token_count(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    from ..functions.textstats import md5_fingerprint
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fp = [md5_fingerprint(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp_md5": pa.array(fp, pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import exact_dedup_ids
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup_ids(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# --- embeddings --------------------------------------------------------
+def knn_bruteforce_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.similarity import knn_bruteforce
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce(ds, query_ids=[0, 1, 2, 3, 4], k=5).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# --- rows-only queries (no SQL oracle; deterministic) ------------------
+
+def _pairs_df(ds) -> pd.DataFrame:
+    """Materialize a pair Dataset robustly: an all-empty map_groups
+    result can come back schemaless — normalize to the pair schema."""
+    df = ds.to_pandas()
+    for col, dt in [("id_a", "int64"), ("id_b", "int64"), ("similarity", "float64")]:
+        if col not in df.columns:
+            df[col] = pd.Series(dtype=dt)
+    return df[["id_a", "id_b", "similarity"]].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+_EXTRACT_ROWS_BY_SF = {"sf0.001": 500, "sf0.01": 1000, "sf0.1": 2000}
+
+
+def extract_pages_q(sf_dir: str) -> pd.DataFrame:
+    """Flagship extraction over the deterministic synthetic pages table
+    (scaled by sf tier).  Returns per-url metrics — the extracted text
+    itself is golden-tested in tests/; metrics keep the payload small."""
+    import os
+
+    from ..pipelines.flagship import extract_dataset
+    from ..sources.pages import write_pages
+
+    tier = os.path.basename(sf_dir.rstrip("/"))
+    n_rows = _EXTRACT_ROWS_BY_SF.get(tier, 500)
+    cache = f"/tmp/graft_pages/{tier}_{n_rows}"
+    if not os.path.exists(os.path.join(cache, "pages_0000.parquet")):
+        write_pages(cache, n_rows, seed=42, num_files=8)
+    ds = rd.read_parquet(cache, columns=["url", "html", "text"])
+    out = extract_dataset(ds, batch_size=32)
+    cols = ["url", "method", "n_blocks_kept", "n_blocks_dropped", "bytes_emitted"]
+    pdf = out.select_columns(cols).to_pandas()
+    return pdf.drop_duplicates("url").sort_values("url").reset_index(drop=True)
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text_analysis import analyze_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = analyze_documents(ds).select_columns(["doc_id", "quality", "pred_lang"])
+    return out.sort("doc_id").to_pandas()
+
+
+def langid_predictions(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text_analysis import analyze_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out = analyze_documents(ds).select_columns(["doc_id", "lang", "pred_lang"])
+    return out.sort("doc_id").to_pandas()
+
+
+def minhash_pairs_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return _pairs_df(minhash_lsh_pairs(ds, threshold=0.5))
+
+
+def minhash_dedup_keep_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import minhash_dedup_keep_ids
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup_keep_ids(ds, threshold=0.5)
+
+
+def simhash_pairs_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import simhash_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return _pairs_df(simhash_pairs(ds, max_hamming=3))
+
+
+def ngram_jaccard_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return _pairs_df(ngram_jaccard_pairs(ds, threshold=0.6))
+
+
+def embedding_neardup_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _pairs_df(embedding_neardup_pairs(ds, threshold=0.9))
+
+
+def knn_ivf_q(sf_dir: str) -> pd.DataFrame:
+    from ..stages.similarity import knn_ivf
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, query_ids=[0, 1, 2, 3, 4], k=5).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def media_decode_q(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing demo: deterministic fake media payloads →
+    actor-pool decode → typed metadata (real codecs are stubbed, see
+    stages/multimodal.py)."""
+    from ..stages.multimodal import decode_dataset, encode_fake_media
+
+    rows = []
+    for i in range(120):
+        kind = i % 3
+        payload = bytes((i * 7 + j) % 251 for j in range(256 + (i % 5) * 64))
+        rows.append(
+            {
+                "media_id": i,
+                "media": encode_fake_media(kind, 64 + i, 48 + i, 10 + (i % 4), payload),
+            }
+        )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = decode_dataset(ds).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)

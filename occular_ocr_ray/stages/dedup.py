@@ -1,0 +1,349 @@
+"""Deduplication stages: exact (hash-partition + per-group first),
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale shape (ray_guide "Aggregation at scale"): signatures are computed
+embarrassingly-parallel in ``map_batches`` actors; the only shuffles are
+the ``groupby`` over (band, key) buckets — rows shuffled are the SMALL
+signature/bucket rows, never the corpus.  Candidate verification happens
+inside the bucket group; quadratic blowup inside a hot bucket is bounded
+by ``max_pairs_per_bucket`` (documented cap — silent truncation would
+read as "covered everything").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data.aggregate import Min
+
+from ..functions import hashing as hs
+from ..functions.textstats import md5_fingerprint
+
+_PAIR_SCHEMA = {"id_a": "int64", "id_b": "int64", "similarity": "float64"}
+
+
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({k: pd.Series(dtype=v) for k, v in _PAIR_SCHEMA.items()})
+
+
+# --- exact -------------------------------------------------------------
+def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Distinct-content representatives: min(id) per md5(text).
+    Hash-partition groupby on the 32-byte fingerprint — the corpus text
+    itself never shuffles (fingerprint computed map-side)."""
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fps = [md5_fingerprint(t) for t in batch[text_col].to_pylist()]
+        return pa.table({id_col: batch[id_col], "fp": pa.array(fps, pa.string())})
+
+    return (
+        ds.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------
+class MinHasher:
+    """Actor stage: doc → (band, key, id, signature[, text]) rows.
+    Permutation params are module-level constants compiled at import —
+    per-actor state per SURVEY.md §2.3."""
+
+    def __init__(
+        self,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_perm: int = 128,
+        n_bands: int = 16,
+        shingle_k: int = 5,
+        char_ngrams: int | None = None,
+        carry_text: bool = False,
+    ) -> None:
+        self.id_col, self.text_col = id_col, text_col
+        self.n_perm, self.n_bands = n_perm, n_bands
+        self.shingle_k, self.char_n = shingle_k, char_ngrams
+        self.carry_text = carry_text
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_band, out_key, out_id, out_sig, out_text = [], [], [], [], []
+        for i, t in zip(ids, texts):
+            sh = (
+                hs.char_ngrams(t, self.char_n)
+                if self.char_n
+                else hs.shingles(t, self.shingle_k)
+            )
+            sig = hs.minhash_signature(sh, self.n_perm)
+            keys = hs.lsh_band_keys(sig, self.n_bands)
+            sig_list = sig.astype(np.int64).tolist()  # reinterpret for Arrow
+            for band, key in enumerate(keys):
+                out_band.append(band)
+                out_key.append(key)
+                out_id.append(i)
+                out_sig.append(sig_list)
+                if self.carry_text:
+                    out_text.append(t)
+        cols = {
+            "band": pa.array(out_band, pa.int32()),
+            "key": pa.array(out_key, pa.int64()),
+            "id": pa.array(out_id, pa.int64()),
+            "sig": pa.array(out_sig, pa.list_(pa.int64())),
+        }
+        if self.carry_text:
+            cols["text"] = pa.array(out_text, pa.string())
+        return pa.table(cols)
+
+
+def _bucket_pairs_fn(threshold: float, max_pairs_per_bucket: int, exact_ngram: int | None):
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs()
+        g = g.sort_values("id").drop_duplicates("id")
+        ids = g["id"].to_numpy()
+        sigs = [np.asarray(s) for s in g["sig"]]
+        texts = g["text"].tolist() if "text" in g.columns else None
+        rows = []
+        budget = max_pairs_per_bucket
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if budget <= 0:
+                    break
+                budget -= 1
+                if exact_ngram is not None and texts is not None:
+                    sim = hs.jaccard(
+                        hs.char_ngrams(texts[i], exact_ngram),
+                        hs.char_ngrams(texts[j], exact_ngram),
+                    )
+                else:
+                    sim = float(np.mean(sigs[i] == sigs[j]))
+                if sim >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), round(sim, 6)))
+        if not rows:
+            return _empty_pairs()
+        return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
+
+    return bucket_pairs
+
+
+def _dedupe_pairs(pairs_ds):
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+
+
+def minhash_lsh_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_pairs_per_bucket: int = 200,
+    concurrency=None,
+    batch_size: int = 1024,
+):
+    """Near-dup candidate pairs (id_a < id_b, estimated Jaccard ≥
+    threshold) via banded MinHash-LSH (MMDS ch.3).  Similarity is
+    estimated from signature agreement — texts never shuffle."""
+    kwargs = dict(
+        id_col=id_col, text_col=text_col, n_perm=n_perm,
+        n_bands=n_bands, shingle_k=shingle_k,
+    )
+    if concurrency is None:
+        band_rows = ds.map_batches(
+            MinHasher(**kwargs), batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        band_rows = ds.map_batches(
+            MinHasher, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+            batch_size=batch_size, concurrency=concurrency, num_cpus=1,
+        )
+    pairs = band_rows.groupby(["band", "key"]).map_groups(
+        _bucket_pairs_fn(threshold, max_pairs_per_bucket, None),
+        batch_format="pandas",
+    )
+    return _dedupe_pairs(pairs)
+
+
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram: int = 3,
+    threshold: float = 0.8,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    max_pairs_per_bucket: int = 200,
+):
+    """Exact char-n-gram Jaccard pairs, LSH-bucketed for candidate
+    generation (texts are carried into buckets for exact verification —
+    acceptable because buckets hold only collision candidates)."""
+    band_rows = ds.map_batches(
+        MinHasher(
+            id_col=id_col, text_col=text_col, n_perm=n_perm, n_bands=n_bands,
+            char_ngrams=ngram, carry_text=True,
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = band_rows.groupby(["band", "key"]).map_groups(
+        _bucket_pairs_fn(threshold, max_pairs_per_bucket, ngram),
+        batch_format="pandas",
+    )
+    return _dedupe_pairs(pairs)
+
+
+def minhash_dedup_keep_ids(ds, id_col: str = "doc_id", text_col: str = "text", **kw):
+    """Near-dup dedup: cluster candidate pairs (union-find over the
+    pair list — driver-side, justified: pairs are vanishingly small vs
+    the corpus and already verified) and keep the min id per cluster.
+    Returns the sorted keep-id list as a pandas DataFrame."""
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, **kw).to_pandas()
+    all_ids = sorted(ds.select_columns([id_col]).to_pandas()[id_col].tolist())
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    keep = [i for i in all_ids if find(i) == i]
+    return pd.DataFrame({id_col: pd.Series(keep, dtype="int64")})
+
+
+# --- SimHash -----------------------------------------------------------
+class SimHasher:
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text", n_bands: int = 4):
+        self.id_col, self.text_col, self.n_bands = id_col, text_col, n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out = {"band": [], "key": [], "id": [], "sh": []}
+        width = 64 // self.n_bands
+        mask = (1 << width) - 1
+        for i, t in zip(ids, texts):
+            sh = hs.simhash64(t)
+            signed = sh - (1 << 64) if sh >= (1 << 63) else sh
+            for band in range(self.n_bands):
+                out["band"].append(band)
+                out["key"].append((sh >> (band * width)) & mask)
+                out["id"].append(i)
+                out["sh"].append(signed)
+        return pa.table(
+            {
+                "band": pa.array(out["band"], pa.int32()),
+                "key": pa.array(out["key"], pa.int64()),
+                "id": pa.array(out["id"], pa.int64()),
+                "sh": pa.array(out["sh"], pa.int64()),
+            }
+        )
+
+
+def simhash_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    max_pairs_per_bucket: int = 200,
+):
+    """SimHash near-dup pairs: band-equality candidates (a pair within
+    hamming ≤ 64/n_bands-ish must agree on ≥1 band by pigeonhole),
+    verified by exact hamming distance."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs()
+        g = g.sort_values("id").drop_duplicates("id")
+        ids = g["id"].to_numpy()
+        shs = g["sh"].to_numpy()
+        rows = []
+        budget = max_pairs_per_bucket
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if budget <= 0:
+                    break
+                budget -= 1
+                d = hs.hamming64(int(shs[i]) & ((1 << 64) - 1), int(shs[j]) & ((1 << 64) - 1))
+                if d <= max_hamming:
+                    rows.append((int(ids[i]), int(ids[j]), float(64 - d) / 64.0))
+        if not rows:
+            return _empty_pairs()
+        return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
+
+    band_rows = ds.map_batches(
+        SimHasher(id_col=id_col, text_col=text_col, n_bands=n_bands),
+        batch_format="pyarrow",
+    )
+    pairs = band_rows.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    return _dedupe_pairs(pairs)
+
+
+# --- embedding cosine near-dup ----------------------------------------
+def embedding_neardup_pairs(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    max_pairs_per_bucket: int = 500,
+):
+    """Embedding near-dup via random-hyperplane LSH (Charikar 2002):
+    sign-pattern bucket key, exact cosine verification inside buckets.
+    The hyperplane matrix is seeded → stable across runs/processes."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        dim = vecs.shape[1] if vecs.ndim == 2 else 0
+        planes = np.random.RandomState(4801).standard_normal((dim, n_planes))
+        signs = (vecs @ planes) >= 0
+        keys = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "id": batch[id_col],
+                "vec": batch[vec_col],
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_pairs()
+        g = g.sort_values("id").drop_duplicates("id")
+        ids = g["id"].to_numpy()
+        vecs = np.array([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T
+        rows = []
+        budget = max_pairs_per_bucket
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if budget <= 0:
+                    break
+                budget -= 1
+                if sims[i, j] >= threshold:
+                    rows.append((int(ids[i]), int(ids[j]), round(float(sims[i, j]), 6)))
+        if not rows:
+            return _empty_pairs()
+        return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
+
+    buckets = ds.map_batches(add_bucket, batch_format="pyarrow")
+    pairs = buckets.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
+    return _dedupe_pairs(pairs)

@@ -1,0 +1,128 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns
+with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The real codec libraries (PIL/cv2/ffmpeg) are NOT in this container, so
+the decode kernels are stubbed (per the build contract): real codecs
+raise ``NotImplementedError``; a deterministic FAKE container format
+(``FAKEMM1`` header, see below) exercises the full Ray-side plumbing —
+schema, batch sizing for large binary payloads, actor signature, output
+layout — which IS real and tested.
+
+Fake container layout (little-endian):
+    b"FAKEMM1" | kind:u8 (0=image,1=audio,2=video) |
+    w:u32 | h:u32 | n_frames:u32 | payload bytes
+
+Large-binary guidance (SURVEY.md §4 memory pressure): callers should use
+small ``batch_size`` (e.g. 16) for multi-MB payloads so
+batch × concurrency fits the worker heap; blocks containing binary
+columns stay in ``batch_format="pyarrow"`` end-to-end (pandas would
+object-box every payload).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pyarrow as pa
+
+FAKE_MAGIC = b"FAKEMM1"
+_HEADER = struct.Struct("<B3I")
+
+
+def encode_fake_media(kind: int, w: int, h: int, n_frames: int, payload: bytes) -> bytes:
+    return FAKE_MAGIC + _HEADER.pack(kind, w, h, n_frames) + payload
+
+
+def decode_media(raw: bytes) -> dict:
+    """Decode one media payload.  Fake container → metadata dict; any
+    real codec bytes → NotImplementedError (stub boundary)."""
+    if raw is None or not raw.startswith(FAKE_MAGIC):
+        raise NotImplementedError(
+            "real image/audio/video codecs are not available in this "
+            "environment; only the FAKEMM1 deterministic container is supported"
+        )
+    kind, w, h, n_frames = _HEADER.unpack_from(raw, len(FAKE_MAGIC))
+    payload = raw[len(FAKE_MAGIC) + _HEADER.size:]
+    return {
+        "kind": int(kind),
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n_frames),
+        "n_bytes": len(payload),
+        "checksum": hashlib.blake2b(payload, digest_size=8).hexdigest(),
+    }
+
+
+class MediaDecode:
+    """Actor stage: binary media column → typed metadata columns.
+    ``strict=False`` maps undecodable payloads to nulls instead of
+    failing the batch (poison-pill tolerance for web-scale corpora)."""
+
+    def __init__(self, media_col: str = "media", strict: bool = False) -> None:
+        self.media_col = media_col
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas = []
+        for raw in batch[self.media_col].to_pylist():
+            try:
+                metas.append(decode_media(raw))
+            except NotImplementedError:
+                if self.strict:
+                    raise
+                metas.append(None)
+        def col(name, typ):
+            return pa.array([m[name] if m else None for m in metas], typ)
+        batch = batch.drop_columns([self.media_col])
+        for name, typ in [("kind", pa.int32()), ("width", pa.int64()),
+                          ("height", pa.int64()), ("n_frames", pa.int64()),
+                          ("n_bytes", pa.int64()), ("checksum", pa.string())]:
+            batch = batch.append_column(name, col(name, typ))
+        return batch
+
+
+class FrameSample:
+    """Actor stage: sample every ``stride``-th frame of fake video
+    payloads into one row per sampled frame (``flat_map``-shaped:
+    a batch of videos → a longer batch of frames)."""
+
+    def __init__(self, media_col: str = "media", id_col: str = "media_id", stride: int = 10):
+        self.media_col, self.id_col, self.stride = media_col, id_col, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame, out_check = [], [], []
+        for mid, raw in zip(batch[self.id_col].to_pylist(), batch[self.media_col].to_pylist()):
+            try:
+                meta = decode_media(raw)
+            except NotImplementedError:
+                continue
+            if meta["kind"] != 2:
+                continue
+            payload = raw[len(FAKE_MAGIC) + _HEADER.size:]
+            n, per = meta["n_frames"], max(1, meta["n_bytes"] // max(1, meta["n_frames"]))
+            for f in range(0, n, self.stride):
+                frame = payload[f * per: (f + 1) * per]
+                out_id.append(mid)
+                out_frame.append(f)
+                out_check.append(hashlib.blake2b(frame, digest_size=8).hexdigest())
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame_index": pa.array(out_frame, pa.int64()),
+                "frame_checksum": pa.array(out_check, pa.string()),
+            }
+        )
+
+
+def decode_dataset(ds, media_col: str = "media", concurrency=2, batch_size: int = 16):
+    """Media Dataset → metadata Dataset (actor pool, small batches for
+    large binary payloads)."""
+    return ds.map_batches(
+        MediaDecode,
+        fn_constructor_kwargs={"media_col": media_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1,0 +1,57 @@
+"""Text-analysis stages over a documents table — actor-pool
+``map_batches`` callables wrapping ``functions/textstats.py``.
+
+Stage shape follows SURVEY.md §2.3: compiled regex/tables are touched in
+``__init__`` (once per actor), per-batch work is a tight loop over the
+Arrow column (the kernels are per-document string ops, like the
+reference's per-crop recognizer)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions import textstats as ts
+
+
+class TextStats:
+    """Adds token counts, language prediction, quality score and
+    fingerprints to a documents batch."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        # touch module-level compiled state (regexes, marker tables)
+        self._fns = (
+            ts.token_count,
+            ts.bpe_ish_token_count,
+            ts.lang_id,
+            ts.quality_score,
+            ts.md5_fingerprint,
+            ts.rolling_fingerprint,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        tok, bpe, lang, qual, md5s, roll = self._fns
+        batch = batch.append_column("n_tokens", pa.array([tok(t) for t in texts], pa.int64()))
+        batch = batch.append_column("n_bpe_tokens", pa.array([bpe(t) for t in texts], pa.int64()))
+        batch = batch.append_column("pred_lang", pa.array([lang(t) for t in texts], pa.string()))
+        batch = batch.append_column("quality", pa.array([qual(t) for t in texts], pa.float64()))
+        batch = batch.append_column("fp_md5", pa.array([md5s(t) for t in texts], pa.string()))
+        batch = batch.append_column(
+            "fp_rolling", pa.array([roll(t) for t in texts], pa.int64())
+        )
+        return batch
+
+
+def analyze_documents(ds, text_col: str = "text", concurrency=None, batch_size: int = 1024):
+    """documents Dataset → same rows + analysis columns."""
+    if concurrency is None:
+        return ds.map_batches(TextStats(text_col), batch_format="pyarrow", batch_size=batch_size)
+    return ds.map_batches(
+        TextStats,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

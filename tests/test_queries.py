@@ -1,0 +1,84 @@
+"""Driver-contract parity: every ``queries()`` entry runs at sf0.001;
+every ``oracle_sql()`` entry is checked against DuckDB the same way the
+driver does (row count + schema + value compare, order-insensitive)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod  # noqa: E402
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+@pytest.fixture(scope="session")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return c
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql())
+ALL_KEYS = sorted(entrymod.queries())
+
+
+def test_oracle_keys_subset_of_queries():
+    assert set(ORACLE_KEYS) <= set(ALL_KEYS)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(name, con, sf_dir):
+    ray_df = _normalize(_to_pandas(entrymod.queries()[name](sf_dir)))
+    sql_df = _normalize(con.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns), f"{name}: column mismatch"
+    assert len(ray_df) == len(sql_df), f"{name}: row count {len(ray_df)} vs {len(sql_df)}"
+    pd.testing.assert_frame_equal(
+        ray_df, sql_df, check_dtype=False, check_exact=False, atol=1e-9, rtol=0
+    )
+
+
+@pytest.mark.parametrize("name", [k for k in ALL_KEYS if k not in ORACLE_KEYS])
+def test_rows_only_queries_run(name, sf_dir):
+    df = _to_pandas(entrymod.queries()[name](sf_dir))
+    assert isinstance(df, pd.DataFrame)
+    assert len(df.columns) > 0
+    # deterministic across invocations
+    df2 = _to_pandas(entrymod.queries()[name](sf_dir))
+    pd.testing.assert_frame_equal(
+        _normalize(df), _normalize(df2), check_dtype=False
+    )
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    df = _to_pandas(res if not hasattr(res, "to_pandas") else res)
+    if hasattr(res, "count"):
+        assert res.count() == 500
+    assert "extracted_text" in (df.columns if isinstance(df, pd.DataFrame) else df.schema().names)
