@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Headline: the flagship extraction pipeline (read parquet → density
+extractor → hash-partitioned parquet + manifest) over the deterministic
+synthetic ``pages`` table scaled to the sf tier, plus per-query timings
+for representative operators over ``$GRAFT_SF_DIR``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "extracted_mb_per_sec": ...}
+
+``--scaling``: runs this script in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the same input (cluster-size-N vs 4N
+substitute per BASELINE.md) and prints throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TIER = os.path.basename(SF_DIR.rstrip("/"))
+ROWS_BY_TIER = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 20000}
+N_PAGES = ROWS_BY_TIER.get(TIER, 2000)
+PAGES_DIR = f"/tmp/graft_bench_pages/{TIER}_{N_PAGES}"
+N_SHARDS = 64
+
+
+def _ensure_pages() -> None:
+    """Generate the pages input once (cached across runs/parallelism
+    levels so both scaling legs read identical bytes); generation is
+    parallelized with Ray tasks."""
+    import ray
+
+    from occular_ocr_ray.sources.pages import gen_pages_table
+
+    marker = os.path.join(PAGES_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(PAGES_DIR, ignore_errors=True)
+    os.makedirs(PAGES_DIR, exist_ok=True)
+
+    @ray.remote
+    def gen_shard(idx: int, start: int, count: int) -> str:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(PAGES_DIR, f"pages_{idx:04d}.parquet")
+        pq.write_table(gen_pages_table(count, seed=42, start=start), path)
+        return path
+
+    per = (N_PAGES + N_SHARDS - 1) // N_SHARDS
+    futs = []
+    for i in range(N_SHARDS):
+        start = i * per
+        count = min(per, N_PAGES - start)
+        if count <= 0:
+            break
+        futs.append(gen_shard.remote(i, start, count))
+    ray.get(futs)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data as rd
+
+    from occular_ocr_ray.pipelines import relational as R
+    from occular_ocr_ray.pipelines.flagship import run_extraction
+
+    _ensure_pages()
+    # warm the page cache (untimed) so we measure compute, not first read
+    rd.read_parquet(PAGES_DIR, columns=["url"]).count()
+
+    out_dir = f"/tmp/graft_bench_out/{TIER}_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    summary = run_extraction(
+        PAGES_DIR, out_dir, num_waves=2, resume=False, batch_size=16, num_parts=64
+    )
+    headline = time.perf_counter() - t0
+    docs = summary["totals"]["rows"]
+    mb = summary["totals"]["bytes_emitted"] / 1e6
+
+    queries = {}
+    qset = {
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "revenue_by_region": R.revenue_by_region,
+        "orders_join_priority": R.orders_join_priority,
+        "events_hourly": R.events_hourly,
+        "dedup_exact": R.dedup_exact,
+        "token_counts": R.token_counts,
+        "minhash_pairs": R.minhash_pairs_q,
+        "knn_bruteforce": R.knn_bruteforce_q,
+    }
+    for name, fn in qset.items():
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship extraction wall-time (pages→extracted parquet), plus per-query sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": TIER,
+        "num_cpus": NUM_CPUS,
+        "n_docs": docs,
+        "docs_per_sec": round(docs / headline, 1),
+        "extracted_mb_per_sec": round(mb / headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    import subprocess
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "sf": TIER,
+        "n_docs": r_lo["n_docs"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

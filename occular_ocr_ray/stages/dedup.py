@@ -97,20 +97,36 @@ class MinHasher:
         return pa.table(cols)
 
 
+# Grouping millions of tiny LSH buckets directly through
+# groupby().map_groups() pays a per-group invocation cost; instead we
+# group by a COARSE bucket (key mod a prime) — same co-location
+# guarantee, ~2 orders of magnitude fewer groups — and resolve the fine
+# (band, key) buckets vectorized in pandas inside each coarse group.
+_COARSE = 199
+
+
+def _add_coarse(ds, src_col: str):
+    def f(batch: pa.Table) -> pa.Table:
+        vals = batch[src_col].to_numpy(zero_copy_only=False)
+        coarse = (np.abs(vals) % _COARSE).astype(np.int32)
+        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def _bucket_pairs_fn(threshold: float, max_pairs_per_bucket: int, exact_ngram: int | None):
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def one_bucket(g: pd.DataFrame, rows: list) -> None:
         if len(g) < 2:
-            return _empty_pairs()
+            return
         g = g.sort_values("id").drop_duplicates("id")
         ids = g["id"].to_numpy()
         sigs = [np.asarray(s) for s in g["sig"]]
         texts = g["text"].tolist() if "text" in g.columns else None
-        rows = []
         budget = max_pairs_per_bucket
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if budget <= 0:
-                    break
+                    return
                 budget -= 1
                 if exact_ngram is not None and texts is not None:
                     sim = hs.jaccard(
@@ -121,18 +137,28 @@ def _bucket_pairs_fn(threshold: float, max_pairs_per_bucket: int, exact_ngram: i
                     sim = float(np.mean(sigs[i] == sigs[j]))
                 if sim >= threshold:
                     rows.append((int(ids[i]), int(ids[j]), round(sim, 6)))
+
+    def coarse_group(cg: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for _, g in cg.groupby(["band", "key"], sort=True):
+            one_bucket(g, rows)
         if not rows:
             return _empty_pairs()
         return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
 
-    return bucket_pairs
+    return coarse_group
 
 
 def _dedupe_pairs(pairs_ds):
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    """Drop duplicate (id_a, id_b) pairs found via multiple bands.
+    Coarse-grouped by id_a so the shuffle moves only pair rows."""
 
-    return pairs_ds.groupby(["id_a", "id_b"]).map_groups(first, batch_format="pandas")
+    def dd(cg: pd.DataFrame) -> pd.DataFrame:
+        return cg.drop_duplicates(["id_a", "id_b"])[list(_PAIR_SCHEMA)]
+
+    return _add_coarse(pairs_ds, "id_a").groupby("coarse").map_groups(
+        dd, batch_format="pandas"
+    )
 
 
 def minhash_lsh_pairs(
@@ -164,7 +190,7 @@ def minhash_lsh_pairs(
             MinHasher, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
             batch_size=batch_size, concurrency=concurrency, num_cpus=1,
         )
-    pairs = band_rows.groupby(["band", "key"]).map_groups(
+    pairs = _add_coarse(band_rows, "key").groupby("coarse").map_groups(
         _bucket_pairs_fn(threshold, max_pairs_per_bucket, None),
         batch_format="pandas",
     )
@@ -192,7 +218,7 @@ def ngram_jaccard_pairs(
         ),
         batch_format="pyarrow",
     )
-    pairs = band_rows.groupby(["band", "key"]).map_groups(
+    pairs = _add_coarse(band_rows, "key").groupby("coarse").map_groups(
         _bucket_pairs_fn(threshold, max_pairs_per_bucket, ngram),
         batch_format="pandas",
     )
@@ -258,29 +284,37 @@ def simhash_pairs(
     text_col: str = "text",
     *,
     max_hamming: int = 3,
-    n_bands: int = 4,
+    n_bands: int | None = None,
     max_pairs_per_bucket: int = 200,
 ):
-    """SimHash near-dup pairs: band-equality candidates (a pair within
-    hamming ≤ 64/n_bands-ish must agree on ≥1 band by pigeonhole),
-    verified by exact hamming distance."""
+    """SimHash near-dup pairs: band-equality candidates verified by
+    exact hamming distance.  By pigeonhole, a pair within hamming ≤ h
+    is guaranteed a shared band iff n_bands ≥ h+1 — so the default
+    picks the smallest 64-divisor band count ≥ max_hamming+1 (no
+    silent recall loss)."""
+    if n_bands is None:
+        n_bands = next(d for d in (2, 4, 8, 16, 32) if d >= max_hamming + 1)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def one_bucket(g: pd.DataFrame, rows: list) -> None:
         if len(g) < 2:
-            return _empty_pairs()
+            return
         g = g.sort_values("id").drop_duplicates("id")
         ids = g["id"].to_numpy()
         shs = g["sh"].to_numpy()
-        rows = []
         budget = max_pairs_per_bucket
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if budget <= 0:
-                    break
+                    return
                 budget -= 1
                 d = hs.hamming64(int(shs[i]) & ((1 << 64) - 1), int(shs[j]) & ((1 << 64) - 1))
                 if d <= max_hamming:
                     rows.append((int(ids[i]), int(ids[j]), float(64 - d) / 64.0))
+
+    def coarse_group(cg: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for _, g in cg.groupby(["band", "key"], sort=True):
+            one_bucket(g, rows)
         if not rows:
             return _empty_pairs()
         return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
@@ -289,7 +323,9 @@ def simhash_pairs(
         SimHasher(id_col=id_col, text_col=text_col, n_bands=n_bands),
         batch_format="pyarrow",
     )
-    pairs = band_rows.groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _add_coarse(band_rows, "key").groupby("coarse").map_groups(
+        coarse_group, batch_format="pandas"
+    )
     return _dedupe_pairs(pairs)
 
 
@@ -321,9 +357,9 @@ def embedding_neardup_pairs(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def one_bucket(g: pd.DataFrame, rows: list) -> None:
         if len(g) < 2:
-            return _empty_pairs()
+            return
         g = g.sort_values("id").drop_duplicates("id")
         ids = g["id"].to_numpy()
         vecs = np.array([np.asarray(v, dtype=np.float64) for v in g["vec"]])
@@ -331,19 +367,25 @@ def embedding_neardup_pairs(
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
         sims = unit @ unit.T
-        rows = []
         budget = max_pairs_per_bucket
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if budget <= 0:
-                    break
+                    return
                 budget -= 1
                 if sims[i, j] >= threshold:
                     rows.append((int(ids[i]), int(ids[j]), round(float(sims[i, j]), 6)))
+
+    def coarse_group(cg: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for _, g in cg.groupby("key", sort=True):
+            one_bucket(g, rows)
         if not rows:
             return _empty_pairs()
         return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
 
     buckets = ds.map_batches(add_bucket, batch_format="pyarrow")
-    pairs = buckets.groupby("key").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _add_coarse(buckets, "key").groupby("coarse").map_groups(
+        coarse_group, batch_format="pandas"
+    )
     return _dedupe_pairs(pairs)

@@ -1,0 +1,240 @@
+"""Unit tests for dedup / similarity / text-analysis / multimodal
+stages and their kernels (SURVEY.md §5.3 + training-data additions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from occular_ocr_ray.functions import hashing as hs
+from occular_ocr_ray.functions import textstats as ts
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+# --- kernels (no Ray needed, but session shared anyway) ---------------
+def test_minhash_estimates_jaccard():
+    a = hs.shingles("the quick brown fox jumps over the lazy dog " * 20, 5)
+    # ~10% token perturbation
+    b = hs.shingles(
+        ("the quick brown fox jumps over the lazy dog " * 18
+         + "a very different tail sentence here now ok " * 2), 5)
+    true_j = hs.jaccard(a, b)
+    est = float(np.mean(hs.minhash_signature(a) == hs.minhash_signature(b)))
+    assert abs(est - true_j) < 0.15
+    assert hs.jaccard(a, a) == 1.0
+    assert hs.jaccard(set(), set()) == 1.0 and hs.jaccard(a, set()) == 0.0
+
+
+def test_minhash_signature_stable_and_bands():
+    sh = hs.shingles("alpha beta gamma delta epsilon zeta eta theta", 3)
+    s1, s2 = hs.minhash_signature(sh), hs.minhash_signature(sh)
+    assert np.array_equal(s1, s2)
+    k1, k2 = hs.lsh_band_keys(s1), hs.lsh_band_keys(s2)
+    assert k1 == k2 and len(k1) == 16
+
+
+def test_simhash_near_and_far():
+    base = "ray data streaming execution with arrow blocks " * 10
+    near = base.replace("arrow", "arrows", 1)
+    far = "completely unrelated content about cooking recipes and food " * 10
+    d_near = hs.hamming64(hs.simhash64(base), hs.simhash64(near))
+    d_far = hs.hamming64(hs.simhash64(base), hs.simhash64(far))
+    assert d_near < d_far
+    assert d_near <= 12 and d_far > 12
+    assert hs.simhash64("") == 0
+
+
+def test_textstats_kernels():
+    assert ts.token_count("a b  c") == 3 and ts.token_count("") == 0
+    assert ts.bpe_ish_token_count("don't stop!") == 5  # don ' t stop !
+    assert ts.lang_id("the cat and the dog sat on the mat") == "en"
+    assert ts.lang_id("der Hund und die Katze sind nicht im Haus") == "de"
+    assert ts.lang_id("и вот не на что это было") == "ru"
+    assert ts.lang_id("") == "und" and ts.lang_id("zzz qqq") == "und"
+    q_good = ts.quality_score("The quick brown fox jumps over the lazy dog. " * 30)
+    q_junk = ts.quality_score("!!! ??? *** ### @@@ %%% ^^^ &&& " * 10)
+    assert 0.0 <= q_junk < q_good <= 1.0
+    assert ts.quality_score("") == 0.0
+    assert ts.md5_fingerprint("abc") == "900150983cd24fb0d6963f7d28e17f72"
+    assert ts.rolling_fingerprint("x" * 200) == ts.rolling_fingerprint("x" * 200)
+
+
+# --- dedup stages ------------------------------------------------------
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank " * 8
+
+
+def test_exact_dedup_ids():
+    from occular_ocr_ray.stages.dedup import exact_dedup_ids
+
+    ds = _docs_ds([(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb")])
+    keep = sorted(exact_dedup_ids(ds).to_pandas()["doc_id"])
+    assert keep == [1, 2, 4]
+
+
+def test_minhash_lsh_finds_neardups():
+    from occular_ocr_ray.stages.dedup import minhash_dedup_keep_ids, minhash_lsh_pairs
+
+    # a long non-repetitive doc: a one-word edit keeps Jaccard ≈ 0.92,
+    # solidly above the banded-LSH detection threshold
+    wide = " ".join(f"token{i} filler{i % 7}" for i in range(60))
+    rows = [
+        (1, wide),
+        (2, wide.replace("token30", "tokenX", 1)),  # near-dup of 1 (J ≈ 0.9)
+        (3, "totally different text about databases and query planners " * 8),
+        (4, wide),  # exact dup of 1
+    ]
+    pairs = minhash_lsh_pairs(_docs_ds(rows), threshold=0.6).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (1, 4) in got and (1, 2) in got and (2, 4) in got
+    assert not any(3 in p for p in got)
+    keep = minhash_dedup_keep_ids(_docs_ds(rows), threshold=0.6)["doc_id"].tolist()
+    assert keep == [1, 3]
+
+
+def test_simhash_pairs_stage():
+    from occular_ocr_ray.stages.dedup import simhash_pairs
+
+    rows = [
+        (1, BASE),
+        (2, BASE.replace("lazy", "sleepy", 1)),
+        (3, "unrelated corpus text on astronomy stars galaxies planets " * 8),
+    ]
+    pairs = simhash_pairs(_docs_ds(rows), max_hamming=8).to_pandas()
+    got = {(a, b) for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", []))}
+    assert (1, 2) in got and not any(3 in p for p in got)
+
+
+def test_ngram_jaccard_stage():
+    from occular_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    rows = [(1, BASE), (2, BASE + " extra tail"), (3, "zebra xylophone quartz " * 10)]
+    pairs = ngram_jaccard_pairs(_docs_ds(rows), threshold=0.8).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == {(1, 2)}
+    # similarity column is the exact n-gram jaccard (repeated text has
+    # few distinct 3-grams, so a short tail still dilutes noticeably)
+    assert pairs["similarity"].iloc[0] > 0.8
+
+
+def test_embedding_neardup_stage():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal(32).astype(np.float32)
+    rows = []
+    for i in range(6):
+        v = base + rng.standard_normal(32).astype(np.float32) * 0.01  # tight cluster
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    for i in range(6, 12):
+        rows.append({"vec_id": i, "embedding": rng.standard_normal(32).tolist()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = embedding_neardup_pairs(ds, threshold=0.98).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got or (0, 2) in got  # cluster members pair up
+    assert all(a < 6 and b < 6 for a, b in got)
+
+
+# --- similarity --------------------------------------------------------
+def test_knn_bruteforce_exact():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.similarity import knn_bruteforce
+
+    rng = np.random.RandomState(1)
+    mat = rng.standard_normal((50, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(50)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = knn_bruteforce(ds, query_ids=[0], k=3).to_pandas()
+    # numpy ground truth
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = unit @ unit[0]
+    sims[0] = -np.inf
+    expect = list(np.argsort(-sims)[:3])
+    assert out["neighbor_id"].tolist() == expect
+    assert out["rank"].tolist() == [1, 2, 3]
+
+
+def test_knn_ivf_reasonable_recall():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.similarity import knn_bruteforce, knn_ivf
+
+    rng = np.random.RandomState(2)
+    mat = rng.standard_normal((200, 16))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(200)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    exact = knn_bruteforce(ds, query_ids=[0, 1], k=5).to_pandas()
+    approx = knn_ivf(ds, query_ids=[0, 1], k=5, n_clusters=8, nprobe=4).to_pandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    assert len(e & a) / len(e) >= 0.5  # recall with half the buckets probed
+
+
+# --- text analysis stage ----------------------------------------------
+def test_analyze_documents_stage(sf_dir):
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.text_analysis import analyze_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = analyze_documents(ds, concurrency=2).limit(50).to_pandas()
+    assert {"n_tokens", "n_bpe_tokens", "pred_lang", "quality", "fp_md5", "fp_rolling"} <= set(out.columns)
+    assert (out["quality"].between(0, 1)).all()
+    assert (out["n_tokens"] > 0).all()
+
+
+# --- multimodal --------------------------------------------------------
+def test_media_decode_and_frame_sample():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.multimodal import (
+        FrameSample,
+        MediaDecode,
+        decode_media,
+        decode_dataset,
+        encode_fake_media,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n...")  # real codec → stub boundary
+
+    payload = bytes(range(200))
+    rows = [
+        {"media_id": 0, "media": encode_fake_media(0, 64, 48, 1, payload)},
+        {"media_id": 1, "media": encode_fake_media(2, 320, 240, 20, payload * 20)},
+        {"media_id": 2, "media": b"not-a-container"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    meta = decode_dataset(ds).to_pandas().sort_values("media_id")
+    assert meta.loc[meta["media_id"] == 0, "width"].iloc[0] == 64
+    assert meta.loc[meta["media_id"] == 2, "width"].isna().all()  # poison-pill → nulls
+    # strict mode raises
+    with pytest.raises(Exception):
+        ds.map_batches(
+            MediaDecode, fn_constructor_kwargs={"strict": True},
+            batch_format="pyarrow", concurrency=1,
+        ).materialize()
+    frames = (
+        ds.map_batches(FrameSample(stride=5), batch_format="pyarrow")
+        .to_pandas()
+    )
+    assert set(frames["media_id"]) == {1}
+    assert frames["frame_index"].tolist() == [0, 5, 10, 15]
