@@ -5,8 +5,9 @@ Graft lifecycle per SURVEY.md §3: ``read_parquet(pages)`` (pruned to the
 3 columns extraction needs) → *(resume: drop completed waves)* →
 ``map_batches(DensityExtractor, batch_format="pyarrow",
 concurrency=..., batch_size=...)`` → add ``part = crc32(host(url)) % P``
-→ ``write_parquet(out/data/wave=<k>/, partition_cols=["part"])`` →
-metrics rollup ``groupby(part).aggregate(Sum, Count)`` → manifest.
+while pushing per-part metric partials to a MetricsCollector actor →
+``write_parquet(out/data/wave=<k>/)`` → manifest from the collector
+(no second scan of the output).
 
 Checkpoint/resume design (SURVEY.md §4, "north_rule: per-partition
 lineage + metrics"; Ray Data has no built-in resume):
