@@ -76,9 +76,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": R.top_orders,
         "filter_project_revenue": R.filter_project_revenue,
         "distinct_segments": R.distinct_segments,
-        # events / windows
+        # events / windows / set ops / as-of
         "events_hourly": R.events_hourly,
         "user_sessions": R.user_sessions,
+        "asof_prior_view": R.asof_prior_view,
+        "events_union": R.events_union,
+        "sample_hash": R.sample_hash,
         # documents / text scalar fns (SURVEY.md §2.7)
         "docs_lang_stats": R.docs_lang_stats,
         "token_counts": R.token_counts,
@@ -163,6 +166,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "asof_prior_view": """
+            SELECT e.event_id, v.ts AS prior_view_ts
+            FROM (SELECT * FROM events WHERE event_type = 'click') e
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON e.user_id = v.user_id AND v.ts < e.ts
+            ORDER BY e.event_id
+        """,
+        "events_union": """
+            SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+            UNION ALL
+            SELECT event_id, event_type FROM events WHERE value > 900
+            ORDER BY event_id, event_type
+        """,
+        "sample_hash": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+            ORDER BY doc_id
         """,
         "user_sessions": """
             WITH marks AS (

@@ -155,6 +155,35 @@ def extract_dataset(
     return out
 
 
+def _patch_fsspec_http_race() -> None:
+    """Make concurrent Dataset construction thread-safe in this env.
+
+    Ray's path resolution calls ``_is_http_filesystem`` per dataset,
+    which re-attempts ``from fsspec.implementations.http import
+    HTTPFileSystem`` on every call when aiohttp is absent; two threads
+    hitting that failing import concurrently race into a partially
+    initialized module and crash with a spurious ImportError.  When the
+    HTTP backend is unimportable no filesystem can BE an HTTPFileSystem,
+    so a constant-False is exactly equivalent — and drops the repeated
+    failed import from the hot path."""
+    from ray.data.datasource import path_util
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return  # backend importable → cached in sys.modules, no race
+    except ImportError:
+        pass
+    if getattr(path_util._is_http_filesystem, "_race_safe", False):
+        return
+
+    def _no_http_fs(fs) -> bool:
+        return False
+
+    _no_http_fs._race_safe = True
+    path_util._is_http_filesystem = _no_http_fs
+
+
 def _wave_of(file_index: int, num_waves: int) -> int:
     return file_index % num_waves
 
@@ -174,9 +203,27 @@ def run_extraction(
     batch_size: int = 32,
     num_parts: int = 16,
     hive_partition: bool = False,
+    wave_concurrency: int = 2,
 ) -> dict:
     """Run (or resume) the flagship job.  Returns a summary dict with
-    per-wave status and global totals."""
+    per-wave status and global totals.
+
+    ``wave_concurrency`` > 1 overlaps wave pipelines (a small thread
+    window): wave k+1 ramps up while wave k drains its write tail, so
+    the cluster never idles between waves (~5 s/wave of ramp+finalize
+    otherwise, at every cluster size).  Correctness is unaffected —
+    waves touch disjoint inputs/outputs and each manifest still commits
+    only after its own wave's parquet is durable."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    _patch_fsspec_http_race()
+    if concurrency is not None:
+        # Actor-pool waves must not overlap: two independent executions
+        # cannot coordinate CPU reservations, so pool actors from wave
+        # k+1 can starve wave k's read/write tasks outright (observed
+        # deadlock at pool_size x window == num_cpus).  Stateless-task
+        # waves are elastic and overlap safely.
+        wave_concurrency = 1
     files = list_input_files(input_dir)
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_dir}")
@@ -190,6 +237,7 @@ def run_extraction(
         waves.setdefault(_wave_of(idx, num_waves), []).append(f)
 
     summary = {"waves": {}, "totals": {"rows": 0, "bytes_emitted": 0, "blocks_kept": 0}}
+    to_run: list[int] = []
     for k in sorted(waves):
         man_path = os.path.join(manifest_dir, f"wave_{k}.json")
         if resume and os.path.exists(man_path):
@@ -197,16 +245,28 @@ def run_extraction(
                 man = json.load(fh)
             summary["waves"][k] = {"status": "skipped", **man["totals"]}
         else:
-            man = _run_wave(
-                k, waves[k], data_dir, man_path,
-                extractor=extractor, concurrency=concurrency,
-                batch_size=batch_size, num_parts=num_parts,
-                hive_partition=hive_partition,
-            )
-            summary["waves"][k] = {"status": "ran", **man["totals"]}
-        summary["totals"]["rows"] += man["totals"]["rows"]
-        summary["totals"]["bytes_emitted"] += man["totals"]["bytes_emitted"]
-        summary["totals"]["blocks_kept"] += man["totals"]["blocks_kept"]
+            to_run.append(k)
+
+    if to_run:
+        with ThreadPoolExecutor(max_workers=max(1, wave_concurrency)) as ex:
+            futs = {
+                k: ex.submit(
+                    _run_wave, k, waves[k], data_dir,
+                    os.path.join(manifest_dir, f"wave_{k}.json"),
+                    extractor=extractor, concurrency=concurrency,
+                    batch_size=batch_size, num_parts=num_parts,
+                    hive_partition=hive_partition,
+                )
+                for k in to_run
+            }
+            for k, fut in futs.items():
+                summary["waves"][k] = {"status": "ran", **fut.result()["totals"]}
+
+    for k in sorted(waves):
+        w = summary["waves"][k]
+        summary["totals"]["rows"] += w["rows"]
+        summary["totals"]["bytes_emitted"] += w["bytes_emitted"]
+        summary["totals"]["blocks_kept"] += w["blocks_kept"]
     return summary
 
 
@@ -239,10 +299,14 @@ def _run_wave(
     # parquet row-group stats).  hive_partition=True adds out/part=<k>/
     # dirs — at high num_parts x many tasks this explodes small-file
     # counts (measured 17x more files for +3% wall), so it is opt-in.
+    # NOTE: no min_rows_per_file — merging output blocks into few files
+    # funnels the write through a handful of tasks (measured 2.7x slower
+    # end-to-end at 32 cpus); one file per output block keeps the write
+    # embarrassingly parallel.  Control file size via batch_size instead.
     if hive_partition:
         out.write_parquet(wave_dir, partition_cols=["part"])
     else:
-        out.write_parquet(wave_dir, min_rows_per_file=1024)
+        out.write_parquet(wave_dir)
 
     # Metrics rollup straight from the collector actor — accumulated
     # map-side during the write pass, no second scan of the output.

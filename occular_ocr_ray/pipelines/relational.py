@@ -419,3 +419,73 @@ def media_decode_q(sf_dir: str) -> pd.DataFrame:
     ds = rd.from_arrow(pa.Table.from_pylist(rows))
     out = decode_dataset(ds).to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+# --- additional operator families (SURVEY.md §2.4/§2.6 extensions) -----
+def asof_prior_view(sf_dir: str) -> pd.DataFrame:
+    """As-of join (custom operator Ray Data lacks): for every 'click'
+    event, the most recent strictly-earlier 'view' ts of the same user.
+    Implemented as groupby(user).map_groups + pandas merge_asof — the
+    documented partitioning assumption is that each user's events fit in
+    one group (true for web-event data; salt hot users if not).
+    Oracle: DuckDB native ASOF JOIN."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        views = g[g["event_type"] == "view"].sort_values("ts")
+        if clicks.empty or views.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "prior_view_ts": pd.Series(dtype="datetime64[us]")}
+            )
+        right = pd.DataFrame({"ts": views["ts"], "prior_view_ts": views["ts"]})
+        m = pd.merge_asof(clicks, right, on="ts", allow_exact_matches=False)
+        m = m.dropna(subset=["prior_view_ts"])  # inner ASOF semantics
+        return m[["event_id", "prior_view_ts"]].astype(
+            {"event_id": "int64", "prior_view_ts": "datetime64[us]"}
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    if "event_id" not in out.columns:
+        out = pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"),
+             "prior_view_ts": pd.Series(dtype="datetime64[us]")}
+        )
+    out["prior_view_ts"] = out["prior_view_ts"].astype("datetime64[us]")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def sample_hash(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash-based sampling (~3/16 of rows): keep rows whose
+    md5(doc_id) starts with hex 0-2.  Unlike seeded random_sample this is
+    parallelism- and partitioning-invariant — the correct sampling
+    primitive for reproducible pipelines at scale."""
+    import hashlib
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = [
+            i for i in ids
+            if hashlib.md5(str(i).encode()).hexdigest()[0] in "012"
+        ]
+        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
+
+
+def events_union(sf_dir: str) -> pd.DataFrame:
+    """Set op: UNION ALL of two filtered streams via Dataset.union."""
+    base = ["event_id", "event_type", "value"]
+    a = _t(sf_dir, "events", base).map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "purchase")),
+        batch_format="pyarrow",
+    )
+    b_ = _t(sf_dir, "events", base).map_batches(
+        lambda b: b.filter(pc.greater(b["value"], 900.0)),
+        batch_format="pyarrow",
+    )
+    out = a.union(b_).select_columns(["event_id", "event_type"]).to_pandas()
+    return out.sort_values(["event_id", "event_type"]).reset_index(drop=True)
