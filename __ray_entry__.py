@@ -102,7 +102,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": R.ngram_jaccard_q,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
+        # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
+        "corpus_pipeline": _corpus_pipeline,
     }
+
+
+def _corpus_pipeline(sf_dir: str) -> Any:
+    from occular_ocr_ray.pipelines.training_data import corpus_pipeline_q
+
+    return corpus_pipeline_q(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,0 +1,173 @@
+"""End-to-end training-data corpus pipeline — the composition a
+large-scale pretraining-data user runs daily, built entirely from this
+engine's stages:
+
+    pages parquet
+      → main-content extraction (flagship stage, zero-copy Arrow)
+      → text analysis (tokens, lang-id, quality, fingerprints)
+      → quality + language filter (vectorized)
+      → exact dedup (hash-partition on md5, keep first url)
+      → MinHash-LSH near-dup drop (signature-only shuffle + union-find)
+      → corpus + per-stage funnel metrics
+
+Every stage is streaming `map_batches`; the only shuffles are the two
+dedup groupbys, both over fingerprint/signature rows — never the corpus
+text.  Funnel counts are exact and returned with the corpus so silent
+drops are impossible (ray_guide "No silent caps").
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..stages.dedup import minhash_dedup_keep_ids
+from ..stages.extractor import DensityExtractor
+from ..stages.text_analysis import TextStats
+
+
+def build_corpus(
+    pages: rd.Dataset,
+    *,
+    min_quality: float = 0.35,
+    min_tokens: int = 20,
+    langs: tuple[str, ...] = (),
+    neardup_threshold: float = 0.8,
+    batch_size: int = 32,
+) -> tuple[rd.Dataset, dict]:
+    """pages (url, html, text) → (corpus Dataset, funnel metrics).
+
+    Returns the corpus as a streaming Dataset of
+    (url, extracted_text, n_tokens, pred_lang, quality) plus a funnel
+    dict with exact counts at every stage boundary.
+    """
+    funnel: dict[str, int] = {}
+    funnel["input_rows"] = pages.count()
+
+    extracted = pages.map_batches(
+        DensityExtractor(), batch_format="pyarrow", batch_size=batch_size
+    ).map_batches(
+        lambda b: b.filter(pc.greater(pc.utf8_length(b["extracted_text"]), 0)),
+        batch_format="pyarrow",
+    )
+
+    analyzed = extracted.select_columns(["url", "extracted_text"]).map_batches(
+        TextStats(text_col="extracted_text"), batch_format="pyarrow", batch_size=256
+    )
+
+    def quality_filter(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(b["quality"], min_quality),
+            pc.greater_equal(b["n_tokens"], min_tokens),
+        )
+        if langs:
+            mask = pc.and_(mask, pc.is_in(b["pred_lang"], value_set=pa.array(langs)))
+        return b.filter(mask)
+
+    filtered = analyzed.map_batches(quality_filter, batch_format="pyarrow")
+    # materialize once: three downstream consumers (exact dedup keys,
+    # near-dup signatures, final corpus join) would otherwise recompute
+    # the whole extract+analyze lineage per consumer
+    filtered = filtered.materialize()
+    funnel["after_extract_and_quality"] = filtered.count()
+
+    # Exact row dedup: THE one corpus shuffle — hash-group rows by
+    # content fingerprint, keep the lexicographically-first url per
+    # group (deterministic).  Coarse-grouped (fp prefix mod prime) so
+    # map_groups overhead is amortized, same as stages/dedup.py.
+    def add_fp(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        fps = [
+            hashlib.md5(t.encode()).hexdigest()
+            for t in b["extracted_text"].to_pylist()
+        ]
+        coarse = [int(f[:8], 16) % 199 for f in fps]
+        b = b.append_column("fp", pa.array(fps, pa.string()))
+        return b.append_column("coarse", pa.array(coarse, pa.int32()))
+
+    def keep_first(cg: pd.DataFrame) -> pd.DataFrame:
+        cg = cg.sort_values(["fp", "url"], kind="mergesort")
+        return cg.drop_duplicates("fp", keep="first").drop(columns=["fp", "coarse"])
+
+    exact_kept = (
+        filtered.map_batches(add_fp, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(keep_first, batch_format="pandas")
+        .map_batches(_with_int_id, batch_format="pyarrow")
+        .materialize()
+    )
+    funnel["after_exact_dedup"] = exact_kept.count()
+
+    keep_near = set(
+        minhash_dedup_keep_ids(
+            exact_kept.select_columns(["row_id", "extracted_text"]),
+            id_col="row_id",
+            text_col="extracted_text",
+            threshold=neardup_threshold,
+        )["row_id"]
+    )
+    corpus = exact_kept.map_batches(_keep_ids_fn(keep_near), batch_format="pyarrow")
+    corpus = corpus.select_columns(
+        ["url", "extracted_text", "n_tokens", "pred_lang", "quality"]
+    )
+    funnel["corpus_rows"] = corpus.count()
+    return corpus, funnel
+
+
+def _with_int_id(b: pa.Table) -> pa.Table:
+    """Stable integer row id from the url (crc-free: blake2b mod 2^62)
+    — dedup stages key on int64 ids."""
+    import hashlib
+    import struct
+
+    if "row_id" in b.column_names:
+        return b
+    ids = [
+        struct.unpack("<q", hashlib.blake2b(u.encode(), digest_size=8).digest())[0]
+        & 0x3FFFFFFFFFFFFFFF
+        for u in b["url"].to_pylist()
+    ]
+    return b.append_column("row_id", pa.array(ids, pa.int64()))
+
+
+def _keep_ids_fn(keep: set[int]):
+    def f(b: pa.Table) -> pa.Table:
+        arr = pa.array(sorted(keep), pa.int64())
+        return b.filter(pc.is_in(b["row_id"], value_set=arr))
+
+    return f
+
+
+def corpus_pipeline_q(sf_dir: str) -> pd.DataFrame:
+    """Driver query: run the full corpus pipeline over the synthetic
+    pages table and return the per-url corpus summary + funnel (rows-only
+    check; the funnel is appended as pseudo-rows with url='__funnel::k')."""
+    import os
+
+    from ..sources.pages import write_pages
+
+    tier = os.path.basename(sf_dir.rstrip("/"))
+    n_rows = {"sf0.001": 400, "sf0.01": 800, "sf0.1": 1600}.get(tier, 400)
+    cache = f"/tmp/graft_pages/{tier}_{n_rows}"
+    if not os.path.exists(os.path.join(cache, "pages_0000.parquet")):
+        write_pages(cache, n_rows, seed=42, num_files=8)
+    pages = rd.read_parquet(cache, columns=["url", "html", "text"])
+    corpus, funnel = build_corpus(pages)
+    out = corpus.select_columns(["url", "n_tokens", "pred_lang"]).to_pandas()
+    out["quality_bucket"] = ""
+    rows = [out]
+    for k, v in funnel.items():
+        rows.append(
+            pd.DataFrame(
+                {"url": [f"__funnel::{k}"], "n_tokens": [v], "pred_lang": [""],
+                 "quality_bucket": [""]}
+            )
+        )
+    return (
+        pd.concat(rows, ignore_index=True)
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
