@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_stats": R.segment_order_stats,
         "orders_join_priority": R.orders_join_priority,
         "top_orders": R.top_orders,
+        "largest_docs": R.largest_docs,
+        "events_type_stats": R.events_type_stats,
         "filter_project_revenue": R.filter_project_revenue,
         "distinct_segments": R.distinct_segments,
         # events / windows / set ops / as-of
@@ -150,6 +152,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "largest_docs": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "events_type_stats": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   round(avg(value), 4) AS avg_value,
+                   min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "top_orders": """
             SELECT o_orderkey, o_totalprice

@@ -489,3 +489,29 @@ def events_union(sf_dir: str) -> pd.DataFrame:
     )
     out = a.union(b_).select_columns(["event_id", "event_type"]).to_pandas()
     return out.sort_values(["event_id", "event_type"]).reset_index(drop=True)
+
+
+def largest_docs(sf_dir: str) -> pd.DataFrame:
+    """Top-k diagnostics (SURVEY §2.6): largest documents by n_chars."""
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10).to_pandas()
+
+
+def events_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Direct grouped Min/Max/Mean aggregates (the non-pre-aggregated
+    route, for contrast with _partial_groupby)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Mean("value", alias_name="avg_value"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+        )
+        .to_pandas()
+    )
+    out["avg_value"] = _round_away(out["avg_value"], 4)
+    return out.sort_values("event_type").reset_index(drop=True)
