@@ -40,34 +40,48 @@ class ScoredBlock:
     link_ratio: float = 0.0
 
 
-def score_block(b: RawBlock) -> ScoredBlock | None:
+def score_block(
+    b: RawBlock,
+    *,
+    keep_thresh: float = KEEP_THRESH,
+    min_chars: int = MIN_CHARS,
+    boiler_penalty: float = BOILER_PENALTY,
+    len_norm: float = LEN_NORM,
+) -> ScoredBlock | None:
     """Score one candidate block; ``None`` for whitespace-only blocks
     (skipped entirely, analog of the blank-line skip at
-    ``pipeline.py:204``)."""
+    ``pipeline.py:204``).
+
+    The keyword thresholds are the extension surface (SURVEY.md §2.9,
+    analog of the reference's detector kwargs): the DEFAULTS are the
+    frozen golden-contract constants — named extractor variants pass
+    overrides, the flagship never does."""
     text = normalize_ws(b.raw_text)
     n = len(text)
     if n == 0:
         return None
     link_ratio = min(1.0, b.link_chars / max(1, b.raw_chars))
-    score = min(1.0, n / LEN_NORM) * (1.0 - link_ratio)
+    score = min(1.0, n / len_norm) * (1.0 - link_ratio)
     path_parts = b.tag_path.split("/")
     if any(t in BOILER_PATH_TAGS for t in path_parts):
-        score *= BOILER_PENALTY
+        score *= boiler_penalty
     score = min(1.0, max(0.0, score))
-    keep = score >= KEEP_THRESH and n >= MIN_CHARS
+    keep = score >= keep_thresh and n >= min_chars
     return ScoredBlock(
         text=text, tag_path=b.tag_path, score=score, keep=keep, link_ratio=link_ratio
     )
 
 
-def classify_blocks(raw_blocks: list[RawBlock]) -> list[ScoredBlock]:
+def classify_blocks(
+    raw_blocks: list[RawBlock], **thresholds
+) -> list[ScoredBlock]:
     """Score every non-empty block, then run the neighbor-rescue pass:
     a dropped block sandwiched between two kept blocks (by the ORIGINAL
     keep flags — one pass, no cascading) with low link density and a
     non-boilerplate path is rescued.  Order-sensitive across blocks of
     one document, so this must stay inside the per-row fn
     (SURVEY.md §7 "Non-standard semantics")."""
-    scored = [s for b in raw_blocks if (s := score_block(b)) is not None]
+    scored = [s for b in raw_blocks if (s := score_block(b, **thresholds)) is not None]
     orig_keep = [s.keep for s in scored]
     for i, s in enumerate(scored):
         if orig_keep[i]:

@@ -116,8 +116,8 @@ def _extract_layout(url: str, payload: bytes) -> dict[str, Any]:
     return _assemble(url, "layout", kept, n_dropped)
 
 
-def _extract_parsed(url: str, html: str) -> dict[str, Any]:
-    scored = classify_blocks(segment_html(html))
+def _extract_parsed(url: str, html: str, thresholds: dict | None = None) -> dict[str, Any]:
+    scored = classify_blocks(segment_html(html), **(thresholds or {}))
     kept = [(s.text, s.tag_path, s.score) for s in scored if s.keep]
     n_dropped = sum(1 for s in scored if not s.keep)
     return _assemble(url, "parsed", kept, n_dropped)
@@ -127,10 +127,13 @@ def extract_row(
     url: str,
     html: bytes | None,
     text: str | None,
+    thresholds: dict | None = None,
 ) -> dict[str, Any]:
-    """Extract one page.  Total and deterministic for any input row."""
+    """Extract one page.  Total and deterministic for any input row.
+    ``thresholds`` (extension surface) tunes the parsed-branch
+    classifier; None/empty = the frozen golden-contract defaults."""
     if text:
         return _extract_native(url, text)
     if html and html.startswith(LAYOUT_MAGIC):
         return _extract_layout(url, html)
-    return _extract_parsed(url, decode_html_bytes(html) if html else "")
+    return _extract_parsed(url, decode_html_bytes(html) if html else "", thresholds)

@@ -30,18 +30,20 @@ class DensityExtractor:
     heuristic state grows (stopword tables, codepoint maps, ML scorers).
     """
 
-    def __init__(self) -> None:
+    def __init__(self, **thresholds) -> None:
         # Touch the heuristic tables so import/compile cost is paid at
         # actor construction, not first batch.
         from ..functions import classify, html_blocks  # noqa: F401
 
         self._extract = extract_row
+        self._thresholds = thresholds or None  # None = frozen defaults
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         texts = batch["text"].to_pylist()
-        out = [self._extract(u, h, t) for u, h, t in zip(urls, htmls, texts)]
+        th = self._thresholds
+        out = [self._extract(u, h, t, th) for u, h, t in zip(urls, htmls, texts)]
         return rows_to_table(out)
 
 
@@ -94,4 +96,14 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     return DensityExtractor()(batch)
 
 
+class LenientExtractor(DensityExtractor):
+    """Named variant (extension-surface demo, SURVEY.md §2.9): lower
+    keep threshold + shorter minimum — keeps headings and short
+    paragraphs the default classifier drops.  NOT golden-contract."""
+
+    def __init__(self) -> None:
+        super().__init__(keep_thresh=0.25, min_chars=12)
+
+
 register_extractor("density", DensityExtractor)
+register_extractor("lenient", LenientExtractor)

@@ -199,3 +199,42 @@ def test_span_invariants():
             assert seg == normalize_ws(seg) and seg
             prev_end = s["end"]
         assert out["bytes_emitted"] == len(out["extracted_text"].encode("utf-8"))
+
+
+def test_registry_and_lenient_extractor():
+    """Extension surface (SURVEY.md §2.9, analog of tests/test_smoke.py
+    test_registry): named extractors resolve; unknown name errors with
+    the available list; the lenient variant keeps strictly more blocks
+    while the default path stays golden-identical."""
+    import pytest as _pytest
+
+    from occular_ocr_ray.state.registry import get_extractor
+    from occular_ocr_ray.stages.extractor import DensityExtractor, LenientExtractor
+
+    assert get_extractor("density") is DensityExtractor
+    assert get_extractor("lenient") is LenientExtractor
+    with _pytest.raises(ValueError, match="density"):
+        get_extractor("nope")
+
+    import pyarrow as pa
+
+    # middle block: 45 chars → score ≈ 0.30 (lenient keeps ≥0.25,
+    # default drops <0.52)
+    html = (
+        "<body><main><h2>A subheading of moderate length for this page</h2>"
+        f"<p>{LONG}</p></main></body>"
+    ).encode()
+    batch = pa.table(
+        {
+            "url": ["u"],
+            "html": pa.array([html], pa.binary()),
+            "text": pa.array([None], pa.string()),
+        }
+    )
+    default_out = DensityExtractor()(batch)
+    lenient_out = LenientExtractor()(batch)
+    assert (
+        lenient_out["n_blocks_kept"][0].as_py() > default_out["n_blocks_kept"][0].as_py()
+    )
+    # default path is unchanged by the parameterization (golden safety)
+    assert default_out["extracted_text"][0].as_py() == LONG
