@@ -30,6 +30,19 @@ RESCUE_MAX_LINK_RATIO = 0.2  # neighbor-rescue eligibility        (≡ UNCLIP ro
 
 BOILER_PATH_TAGS = frozenset({"nav", "header", "footer", "aside"})
 
+# tag paths repeat heavily within and across documents; memoize the
+# boiler-path predicate (pure function of the path string)
+_BOILER_MEMO: dict[str, bool] = {}
+
+
+def _is_boiler_path(tag_path: str) -> bool:
+    hit = _BOILER_MEMO.get(tag_path)
+    if hit is None:
+        hit = any(t in BOILER_PATH_TAGS for t in tag_path.split("/"))
+        if len(_BOILER_MEMO) < 65536:  # bound the memo
+            _BOILER_MEMO[tag_path] = hit
+    return hit
+
 
 @dataclass
 class ScoredBlock:
@@ -62,8 +75,7 @@ def score_block(
         return None
     link_ratio = min(1.0, b.link_chars / max(1, b.raw_chars))
     score = min(1.0, n / len_norm) * (1.0 - link_ratio)
-    path_parts = b.tag_path.split("/")
-    if any(t in BOILER_PATH_TAGS for t in path_parts):
+    if _is_boiler_path(b.tag_path):
         score *= boiler_penalty
     score = min(1.0, max(0.0, score))
     keep = score >= keep_thresh and n >= min_chars
@@ -87,8 +99,7 @@ def classify_blocks(
         if orig_keep[i]:
             continue
         if 0 < i < len(scored) - 1 and orig_keep[i - 1] and orig_keep[i + 1]:
-            path_parts = s.tag_path.split("/")
-            if any(t in BOILER_PATH_TAGS for t in path_parts):
+            if _is_boiler_path(s.tag_path):
                 continue
             if s.link_ratio <= RESCUE_MAX_LINK_RATIO:
                 s.keep = True
