@@ -1,0 +1,83 @@
+"""Ingestion of JSONL/CSV page sources + poison-row robustness of the
+extraction kernel (total function contract)."""
+
+from __future__ import annotations
+
+import base64
+import csv
+import json
+
+import pytest
+
+from occular_ocr_ray.functions.extract import extract_row
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+
+def test_read_pages_json(tmp_path):
+    from occular_ocr_ray.sources.ingest import read_pages_json
+    from occular_ocr_ray.sources.pages import PAGES_SCHEMA, gen_page_row
+
+    path = tmp_path / "pages.jsonl"
+    with open(path, "w") as fh:
+        for i in range(10):
+            r = gen_page_row(i)
+            fh.write(json.dumps({
+                "url": r["url"],
+                "warc_ts": r["warc_ts"],  # epoch micros
+                "html_b64": base64.b64encode(r["html"]).decode(),
+                "text": r["text"],
+                "lang": r["lang"],
+            }) + "\n")
+    ds = read_pages_json(str(path))
+    tbl = ds.take_batch(10, batch_format="pyarrow")
+    assert [f.name for f in PAGES_SCHEMA] == tbl.column_names
+    # round-trips the binary payload exactly (keyed by url — row order
+    # across the ingest is not part of the contract)
+    by_url = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    assert by_url[gen_page_row(0)["url"]] == gen_page_row(0)["html"]
+    # and extraction over the ingested dataset matches the direct kernel
+    from occular_ocr_ray.pipelines.flagship import extract_dataset
+
+    out = {r["url"]: r["extracted_text"] for r in extract_dataset(ds).take_all()}
+    for i in range(10):
+        r = gen_page_row(i)
+        assert out[r["url"]] == extract_row(r["url"], r["html"], r["text"])["extracted_text"]
+
+
+def test_read_pages_csv(tmp_path):
+    from occular_ocr_ray.sources.ingest import read_pages_csv
+
+    path = tmp_path / "pages.csv"
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["url", "text", "lang", "warc_ts"])
+        w.writerow(["https://a.example/1", "hello world line", "en", "2025-01-01T00:00:01"])
+        w.writerow(["https://a.example/2", "second doc text", "en", "not-a-date"])
+    ds = read_pages_csv(str(path))
+    tbl = ds.take_batch(10, batch_format="pyarrow")
+    assert tbl.num_rows == 2
+    assert tbl["html"].null_count == 2  # text-only source
+    assert tbl["warc_ts"].to_pylist()[1] is None  # bad date → null, not crash
+
+
+@pytest.mark.parametrize(
+    "html,text",
+    [
+        (b"\xff\xfe\x00garbage not utf8 \x80\x81", None),   # invalid utf-8
+        (b"<p>" + b"\x00" * 64 + b"</p>", None),            # NUL bytes
+        (b"<" * 10000, None),                               # pathological tags
+        (b"<p>" + ("x" * 500000).encode(), None),           # unclosed giant
+        (None, "\x00\x01 control \x1f chars"),              # native with controls
+        (b"LAYOUT1\n[{\"bbox\": [0,0,1], \"text\": \"short bbox\"}]", None),
+    ],
+)
+def test_extract_total_on_poison_rows(html, text):
+    """The kernel is a total function: any bytes in, valid row out
+    (analog of the reference's empty-image robustness,
+    ``tests/test_dbnet.py:38-45``)."""
+    out = extract_row("u", html, text)
+    assert isinstance(out["extracted_text"], str)
+    assert out["bytes_emitted"] == len(out["extracted_text"].encode("utf-8"))
+    for s in out["spans"]:
+        assert 0 <= s["start"] <= s["end"] <= len(out["extracted_text"])
