@@ -27,7 +27,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TIER = os.path.basename(SF_DIR.rstrip("/"))
-ROWS_BY_TIER = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 40000}
+ROWS_BY_TIER = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 80000}
 N_PAGES = ROWS_BY_TIER.get(TIER, 2000)
 PAGES_DIR = f"/tmp/graft_bench_pages/{TIER}_{N_PAGES}"
 N_SHARDS = 64
