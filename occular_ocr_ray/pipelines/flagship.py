@@ -217,6 +217,7 @@ def run_extraction(
     from concurrent.futures import ThreadPoolExecutor
 
     _patch_fsspec_http_race()
+    num_waves = max(1, num_waves)
     if concurrency is not None:
         # Actor-pool waves must not overlap: two independent executions
         # cannot coordinate CPU reservations, so pool actors from wave
