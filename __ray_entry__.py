@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": R.revenue_by_region,
         "segment_order_stats": R.segment_order_stats,
         "orders_join_priority": R.orders_join_priority,
+        "orders_join_priority_bucketed": R.orders_join_priority_bucketed,
         "top_orders": R.top_orders,
         "largest_docs": R.largest_docs,
         "events_type_stats": R.events_type_stats,
@@ -147,6 +148,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "orders_join_priority": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "orders_join_priority_bucketed": """
             SELECT o_orderpriority,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                    count(*) AS n_items

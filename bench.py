@@ -191,8 +191,38 @@ def run_scaling() -> None:
     }))
 
 
+def run_stats() -> None:
+    """Print the flagship pipeline's per-stage ds.stats() breakdown
+    (wall/cpu/heap per operator) to stderr — the observability loop used
+    to tune batch size, write layout, and wave structure."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from occular_ocr_ray.pipelines.flagship import MetricsCollector, _add_part, extract_dataset
+
+    _ensure_pages()
+    ds = rd.read_parquet(PAGES_DIR, columns=["url", "html", "text"])
+    coll = ray.remote(num_cpus=0)(MetricsCollector).remote()
+    out = extract_dataset(ds, batch_size=16).map_batches(
+        _add_part(64, coll), batch_format="pyarrow"
+    )
+    shutil.rmtree("/tmp/graft_stats_out", ignore_errors=True)
+    out.write_parquet("/tmp/graft_stats_out")
+    print(out.stats(), file=sys.stderr)
+    ray.kill(coll)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))

@@ -515,3 +515,28 @@ def events_type_stats(sf_dir: str) -> pd.DataFrame:
     )
     out["avg_value"] = _round_away(out["avg_value"], 4)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def orders_join_priority_bucketed(sf_dir: str) -> pd.DataFrame:
+    """Same result as orders_join_priority, via the EXPLICIT bucketed
+    hash join (stages/joins.py) instead of Dataset.join — both checked
+    against the same DuckDB oracle."""
+    from ..stages.joins import bucketed_hash_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
+                                num_buckets=16)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1 - df["l_discount"]), n_items=np.int64(1)
+        )
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum")
+        )
+
+    out = _partial_groupby(joined, ["o_orderpriority"], partials,
+                           [("revenue", "f"), ("n_items", "i")]).to_pandas()
+    out["revenue"] = _round_away(out["revenue"], 2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -1,0 +1,59 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5: the reference has no property tests); these
+pin the kernel invariants over arbitrary inputs."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from occular_ocr_ray.functions.extract import extract_row
+from occular_ocr_ray.functions.normalize import normalize_ws
+from occular_ocr_ray.functions.xycut import xy_cut_order
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=200, deadline=None)
+def test_normalize_ws_idempotent_and_canonical(s):
+    n = normalize_ws(s)
+    assert normalize_ws(n) == n                  # idempotent
+    assert n == n.strip()                        # no edge whitespace
+    assert "  " not in n and "\n" not in n and "\t" not in n
+
+
+_box = st.tuples(
+    st.integers(0, 1000), st.integers(0, 1000),
+    st.integers(1, 1000), st.integers(1, 1000),
+).map(lambda t: (min(t[0], t[0] + t[2]), min(t[1], t[1] + t[3]),
+                 t[0] + t[2], t[1] + t[3]))
+
+
+@given(st.lists(_box, max_size=25))
+@settings(max_examples=100, deadline=None)
+def test_xycut_is_permutation(boxes):
+    order = xy_cut_order(boxes)
+    assert sorted(order) == list(range(len(boxes)))  # permutation, total
+    # determinism
+    assert xy_cut_order(boxes) == order
+
+
+@given(st.binary(max_size=2000), st.one_of(st.none(), st.text(max_size=500)))
+@settings(max_examples=150, deadline=None)
+def test_extract_row_total_and_invariant(html, text):
+    """Totality + the span/metric invariants for ARBITRARY payload
+    bytes (the analog of fuzzing the reference's image loader)."""
+    out = extract_row("u", html, text)
+    et = out["extracted_text"]
+    assert isinstance(et, str)
+    assert out["bytes_emitted"] == len(et.encode("utf-8"))
+    assert out["n_blocks_kept"] == len(out["spans"])
+    assert out["method"] in ("native", "layout", "parsed")
+    prev_end = -1
+    for s in out["spans"]:
+        assert 0.0 <= s["score"] <= 1.0
+        assert prev_end < s["start"] <= s["end"] <= len(et)
+        seg = et[s["start"]: s["end"]]
+        assert seg == normalize_ws(seg)
+        prev_end = s["end"]
+    # determinism: same row → same bytes
+    assert extract_row("u", html, text) == out
