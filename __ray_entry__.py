@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": R.distinct_segments,
         # events / windows / set ops / as-of
         "events_hourly": R.events_hourly,
+        "events_sliding": R.events_sliding,
         "user_sessions": R.user_sessions,
         "asof_prior_view": R.asof_prior_view,
         "events_union": R.events_union,
@@ -214,6 +215,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
             ORDER BY doc_id
+        """,
+        "events_sliding": """
+            WITH w AS (
+              SELECT event_type, value,
+                     make_timestamp(CAST((floor(epoch(ts)/1800)*1800 - 1800*k.k) * 1000000 AS BIGINT)) AS wstart,
+                     ts
+              FROM events, (SELECT 0 AS k UNION ALL SELECT 1) k
+            )
+            SELECT event_type, strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM w
+            WHERE epoch(ts) - epoch(wstart) >= 0 AND epoch(ts) - epoch(wstart) < 3600
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "user_sessions": """
             WITH marks AS (

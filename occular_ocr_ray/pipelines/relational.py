@@ -540,3 +540,34 @@ def orders_join_priority_bucketed(sf_dir: str) -> pd.DataFrame:
                            [("revenue", "f"), ("n_items", "i")]).to_pandas()
     out["revenue"] = _round_away(out["revenue"], 2)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate (1h window, 30min slide) — a windowed
+    operator Ray Data lacks, expressed as flat-map window assignment
+    (each event → the 2 windows covering it) + map-side partial
+    aggregation + small groupby (SURVEY.md custom-operator route (a))."""
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+    WIN, SLIDE = 3600, 1800
+
+    def assign_windows(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].astype("int64") // 1_000_000
+        parts = []
+        for k in range(WIN // SLIDE):
+            ws = (epoch // SLIDE) * SLIDE - SLIDE * k
+            sel = (epoch - ws >= 0) & (epoch - ws < WIN)
+            sub = df.loc[sel, ["event_type", "value"]].copy()
+            sub["window_start"] = pd.to_datetime(
+                ws[sel] * 1_000_000_000
+            ).dt.strftime("%Y-%m-%d %H:%M:%S")
+            parts.append(sub)
+        out = pd.concat(parts, ignore_index=True)
+        out["n_events"] = np.int64(1)
+        return out.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("n_events", "sum"), sum_value=("value", "sum")
+        )
+
+    out = _partial_groupby(ds, ["event_type", "window_start"], assign_windows,
+                           [("n_events", "i"), ("sum_value", "f")]).to_pandas()
+    out["sum_value"] = _round_away(out["sum_value"], 2)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
