@@ -100,6 +100,18 @@ def run_bench() -> dict:
     docs = summary["totals"]["rows"]
     mb = summary["totals"]["bytes_emitted"] / 1e6
 
+    # output-identity digest: md5 over every wave's per-partition metric
+    # rollup digest — equal digests across parallelism levels prove the
+    # two legs produced identical per-partition outputs
+    import glob as _glob
+    import hashlib as _hashlib
+
+    wave_digests = []
+    for man in sorted(_glob.glob(os.path.join(out_dir, "manifest", "*.json"))):
+        with open(man) as fh:
+            wave_digests.append(json.load(fh)["rollup_digest"])
+    output_digest = _hashlib.md5("".join(wave_digests).encode()).hexdigest()
+
     queries = {}
     qset = {} if os.environ.get("GRAFT_SKIP_QUERIES") else {
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -128,6 +140,7 @@ def run_bench() -> dict:
         "n_docs": docs,
         "docs_per_sec": round(docs / headline, 1),
         "extracted_mb_per_sec": round(mb / headline, 2),
+        "output_digest": output_digest,
     }
     ray.shutdown()
     return result
@@ -188,6 +201,7 @@ def run_scaling() -> None:
         "scaling_efficiency": round(eff, 3),
         "cpu_freq_slowdown_at_hi": round(freq_ratio, 3),
         "scaling_efficiency_freq_adj": round(eff * freq_ratio, 3),
+        "output_identical_across_parallelism": r_lo["output_digest"] == r_hi["output_digest"],
     }))
 
 
