@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events / windows / set ops / as-of
         "events_hourly": R.events_hourly,
         "events_sliding": R.events_sliding,
+        "approx_distinct_users": R.approx_distinct_users,
         "user_sessions": R.user_sessions,
         "asof_prior_view": R.asof_prior_view,
         "events_union": R.events_union,

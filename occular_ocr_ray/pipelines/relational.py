@@ -571,3 +571,13 @@ def events_sliding(sf_dir: str) -> pd.DataFrame:
                            [("n_events", "i"), ("sum_value", "f")]).to_pandas()
     out["sum_value"] = _round_away(out["sum_value"], 2)
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) per event_type via mergeable
+    HLL sketches (stages/sketch_agg.py) — deterministic but approximate,
+    so rows-only (exactness checked within ±8% in tests/test_stages.py)."""
+    from ..stages.sketch_agg import approx_distinct
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+    return approx_distinct(ds, "event_type", "user_id")

@@ -238,3 +238,39 @@ def test_media_decode_and_frame_sample():
     )
     assert set(frames["media_id"]) == {1}
     assert frames["frame_index"].tolist() == [0, 5, 10, 15]
+
+
+# --- HLL sketch --------------------------------------------------------
+def test_hll_kernel_accuracy():
+    import numpy as np
+
+    from occular_ocr_ray.functions import sketches as sk
+
+    for true_n in (10, 500, 20000):
+        reg = sk.hll_create(12)
+        sk.hll_add(reg, [f"item-{i}" for i in range(true_n)])
+        est = sk.hll_estimate(reg)
+        assert abs(est - true_n) / true_n < 0.06, (true_n, est)
+    # mergeability: sketch(A) ∪ sketch(B) == sketch(A∪B)
+    a, b_, u = sk.hll_create(12), sk.hll_create(12), sk.hll_create(12)
+    items_a = [f"x{i}" for i in range(1000)]
+    items_b = [f"x{i}" for i in range(500, 1500)]
+    sk.hll_add(a, items_a); sk.hll_add(b_, items_b); sk.hll_add(u, items_a + items_b)
+    assert np.array_equal(sk.hll_merge(a, b_), u)
+
+
+def test_approx_distinct_stage(sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.sketch_agg import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    approx = approx_distinct(ds, "event_type", "user_id", batch_size=256)
+    exact = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{sf_dir}/events.parquet') GROUP BY 1 ORDER BY 1"
+    ).fetchdf()
+    assert list(approx["event_type"]) == list(exact["event_type"])
+    for got, want in zip(approx["approx_distinct"], exact["n"]):
+        assert abs(got - want) / max(1, want) < 0.08, (got, want)
