@@ -26,7 +26,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 
@@ -85,13 +85,6 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         out[c] = _round_away(out[c], 2)
     out = out.drop(columns=["sum_disc"])
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
-
-
-def _broadcast_map(sf_dir: str, table: str, key: str, val_builder) -> dict:
-    """Read a small dimension table driver-side (pyarrow, no Ray) and
-    build key → value.  ``val_builder(tbl) -> dict``."""
-    tbl = pq.read_table(f"{sf_dir}/{table}.parquet")
-    return val_builder(tbl)
 
 
 def revenue_by_region(sf_dir: str) -> pd.DataFrame:
