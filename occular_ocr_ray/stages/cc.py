@@ -1,0 +1,102 @@
+"""Distributed connected components via iterative min-label propagation
+— the scale-correct clustering step for near-dup graphs (ray_guide
+"Near-dup (MinHash-LSH)" pattern: "connected components (iterate a few
+rounds of min-label propagation with groupby, or union-find on the
+driver only if the candidate set is provably small)").
+
+Algorithm (published; e.g. Pregel-style hash-min): every node starts
+labeled with its own id; each round, every node takes the min of its
+label and its neighbors' labels (one ``groupby(node).min``); converged
+when the global label sum stops changing (labels are monotonically
+non-increasing, so a stable sum IS the fixed point).  Rounds needed =
+graph diameter — near-dup clusters are shallow (dups of dups), so this
+terminates in a handful of rounds.
+
+Everything is Dataset-shaped: the shuffles move (node, label) int pairs
+only, never document content.  ``minhash_dedup_keep_ids`` uses the
+driver-side union-find (documented as valid while the pair list is
+small); this module is the 10^12-row path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Min, Sum
+
+
+def connected_component_labels(
+    ids_ds,
+    pairs_ds,
+    *,
+    id_col: str = "doc_id",
+    max_rounds: int = 25,
+):
+    """ids_ds: Dataset with ``id_col`` (every node); pairs_ds: Dataset
+    with (id_a, id_b) undirected edges.  Returns a Dataset
+    (``id_col``, label) where label = min node id of the component."""
+
+    # symmetric edge list: (node, neighbor)
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"]
+        b = batch["id_b"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "nbr": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs_ds.select_columns(["id_a", "id_b"]).map_batches(
+        sym, batch_format="pyarrow"
+    ).materialize()  # reused every round; edge list ≪ corpus
+
+    labels = ids_ds.map_batches(
+        lambda b: pa.table({"node": b[id_col], "label": b[id_col]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def total(ds) -> int:
+        return int(ds.aggregate(Sum("label", alias_name="s"))["s"])
+
+    from .joins import bucketed_hash_join
+
+    prev = total(labels)
+    for _ in range(max_rounds):
+        # neighbor messages: each edge forwards its node's current label
+        # to the neighbor — via the explicit bucketed hash join (robust
+        # to the schemaless-empty-partition blocks hash aggregation can
+        # emit, which break Dataset.join's pyarrow key resolution)
+        msgs = bucketed_hash_join(
+            edges, labels, left_on="node", right_on="node", num_buckets=16
+        ).map_batches(
+            lambda b: pa.table({"node": b["nbr"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = total(labels)
+        if cur == prev:  # monotone ⇒ fixed point
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda b: pa.table({id_col: b["node"], "label": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def keep_ids_from_labels(labels_ds, id_col: str = "doc_id") -> pd.DataFrame:
+    """Component representatives: rows where id == label (the min id of
+    each component), i.e. the canonical keep-set."""
+    import pyarrow.compute as pc
+
+    def reps(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch[id_col], batch["label"])).select([id_col])
+
+    out = labels_ds.map_batches(reps, batch_format="pyarrow").to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)

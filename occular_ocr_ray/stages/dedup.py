@@ -225,11 +225,38 @@ def ngram_jaccard_pairs(
     return _dedupe_pairs(pairs)
 
 
-def minhash_dedup_keep_ids(ds, id_col: str = "doc_id", text_col: str = "text", **kw):
-    """Near-dup dedup: cluster candidate pairs (union-find over the
-    pair list — driver-side, justified: pairs are vanishingly small vs
-    the corpus and already verified) and keep the min id per cluster.
-    Returns the sorted keep-id list as a pandas DataFrame."""
+def minhash_dedup_keep_ids(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "driver",
+    **kw,
+):
+    """Near-dup dedup: cluster candidate pairs and keep the min id per
+    cluster.  Returns the sorted keep-id list as a pandas DataFrame.
+
+    ``strategy="driver"``: union-find over the collected pair list —
+    valid while the pair list is small vs the corpus (the common case).
+    ``strategy="distributed"``: iterative min-label propagation as
+    Dataset ops (stages/cc.py) — the 10^12-row path; nothing
+    corpus-sized ever reaches the driver."""
+    if strategy == "distributed":
+        from .cc import connected_component_labels, keep_ids_from_labels
+
+        pairs_ds = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, **kw)
+        # pairs may be schemaless-empty; normalize via pandas then back
+        pdf = pairs_ds.to_pandas()
+        if "id_a" not in pdf.columns or pdf.empty:
+            ids = sorted(ds.select_columns([id_col]).to_pandas()[id_col])
+            return pd.DataFrame({id_col: pd.Series(ids, dtype="int64")})
+        import ray.data as rd
+
+        labels = connected_component_labels(
+            ds.select_columns([id_col]),
+            rd.from_pandas(pdf[["id_a", "id_b"]]),
+            id_col=id_col,
+        )
+        return keep_ids_from_labels(labels, id_col=id_col)
     pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, **kw).to_pandas()
     all_ids = sorted(ds.select_columns([id_col]).to_pandas()[id_col].tolist())
     parent: dict[int, int] = {}

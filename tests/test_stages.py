@@ -274,3 +274,55 @@ def test_approx_distinct_stage(sf_dir):
     assert list(approx["event_type"]) == list(exact["event_type"])
     for got, want in zip(approx["approx_distinct"], exact["n"]):
         assert abs(got - want) / max(1, want) < 0.08, (got, want)
+
+
+# --- distributed connected components ---------------------------------
+def test_connected_components_matches_union_find():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.cc import connected_component_labels, keep_ids_from_labels
+
+    # graph: {1,2,3} chained, {5,6} pair, {9} singleton, {10,11,12} star
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3, 5, 6, 9, 10, 11, 12], pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 5, 10, 10], pa.int64()),
+        "id_b": pa.array([2, 3, 6, 11, 12], pa.int64()),
+    }))
+    labels = connected_component_labels(ids, pairs).to_pandas().sort_values("doc_id")
+    assert dict(zip(labels["doc_id"], labels["label"])) == {
+        1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9, 10: 10, 11: 10, 12: 10,
+    }
+    keep = keep_ids_from_labels(connected_component_labels(ids, pairs))
+    assert keep["doc_id"].tolist() == [1, 5, 9, 10]
+
+
+def test_connected_components_deep_chain():
+    """Chain of length 8 needs multiple propagation rounds."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.cc import connected_component_labels
+
+    n = 8
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(list(range(n)), pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(list(range(n - 1)), pa.int64()),
+        "id_b": pa.array(list(range(1, n)), pa.int64()),
+    }))
+    labels = connected_component_labels(ids, pairs).to_pandas()
+    assert set(labels["label"]) == {0}
+
+
+def test_minhash_dedup_strategies_agree():
+    from occular_ocr_ray.stages.dedup import minhash_dedup_keep_ids
+
+    wide = " ".join(f"token{i} filler{i % 7}" for i in range(60))
+    rows = [
+        (1, wide),
+        (2, wide.replace("token30", "tokenX", 1)),
+        (3, "totally different text about databases and query planners " * 8),
+        (4, wide),
+        (7, "another unrelated document about oceanography and tides " * 8),
+    ]
+    a = minhash_dedup_keep_ids(_docs_ds(rows), threshold=0.6, strategy="driver")
+    b = minhash_dedup_keep_ids(_docs_ds(rows), threshold=0.6, strategy="distributed")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist() == [1, 3, 7]
