@@ -14,18 +14,42 @@ Every stage is streaming `map_batches`; the only shuffles are the two
 dedup groupbys, both over fingerprint/signature rows — never the corpus
 text.  Funnel counts are exact and returned with the corpus so silent
 drops are impossible (ray_guide "No silent caps").
+
+Scale shape of the near-dup drop: only the DROP-set (non-representative
+cluster members — the duplicates themselves, not the surviving corpus)
+ever reaches the driver; it is broadcast once via ``ray.put`` and each
+worker builds its Arrow value-set once (cached per ObjectRef), so the
+anti-filter ships an ObjectRef per task, not a Python set per batch.
+Multi-consumer stages checkpoint to parquet (resumable, object-store
+friendly) instead of pinning the corpus with ``materialize()``.
 """
 
 from __future__ import annotations
 
+import os
+import uuid
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
-from ..stages.dedup import minhash_dedup_keep_ids
+from ..stages.dedup import minhash_lsh_pairs, neardup_drop_ids
 from ..stages.extractor import DensityExtractor
 from ..stages.text_analysis import TextStats
+
+# per-worker cache: ObjectRef hex → materialized Arrow value-set, so the
+# broadcast drop-set is fetched + converted once per worker, not per batch
+_DROP_SET_CACHE: dict[str, pa.Array] = {}
+
+
+def _checkpoint(ds: rd.Dataset, path: str) -> rd.Dataset:
+    """Write a multi-consumer intermediate to parquet and re-read it:
+    downstream consumers each stream from disk instead of recomputing
+    lineage or pinning the whole stage output in the object store."""
+    ds.write_parquet(path)
+    return rd.read_parquet(path)
 
 
 def build_corpus(
@@ -36,6 +60,7 @@ def build_corpus(
     langs: tuple[str, ...] = (),
     neardup_threshold: float = 0.8,
     batch_size: int = 32,
+    checkpoint_dir: str | None = None,
 ) -> tuple[rd.Dataset, dict]:
     """pages (url, html, text) → (corpus Dataset, funnel metrics).
 
@@ -67,10 +92,15 @@ def build_corpus(
         return b.filter(mask)
 
     filtered = analyzed.map_batches(quality_filter, batch_format="pyarrow")
-    # materialize once: three downstream consumers (exact dedup keys,
-    # near-dup signatures, final corpus join) would otherwise recompute
-    # the whole extract+analyze lineage per consumer
-    filtered = filtered.materialize()
+    # checkpoint once: three downstream consumers (exact dedup keys,
+    # near-dup signatures, final corpus filter) would otherwise recompute
+    # the whole extract+analyze lineage per consumer.  Parquet, not
+    # materialize(): at corpus scale a pinned object-store copy is a
+    # spill storm; a parquet checkpoint streams back per consumer and is
+    # the resume point a failed run restarts from.
+    if checkpoint_dir is None:
+        checkpoint_dir = f"/tmp/occular_corpus_ckpt/{uuid.uuid4().hex[:12]}"
+    filtered = _checkpoint(filtered, os.path.join(checkpoint_dir, "filtered"))
     funnel["after_extract_and_quality"] = filtered.count()
 
     # Exact row dedup: THE one corpus shuffle — hash-group rows by
@@ -92,24 +122,27 @@ def build_corpus(
         cg = cg.sort_values(["fp", "url"], kind="mergesort")
         return cg.drop_duplicates("fp", keep="first").drop(columns=["fp", "coarse"])
 
-    exact_kept = (
+    exact_kept = _checkpoint(
         filtered.map_batches(add_fp, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(keep_first, batch_format="pandas")
-        .map_batches(_with_int_id, batch_format="pyarrow")
-        .materialize()
+        .map_batches(_with_int_id, batch_format="pyarrow"),
+        os.path.join(checkpoint_dir, "exact_kept"),
     )
     funnel["after_exact_dedup"] = exact_kept.count()
 
-    keep_near = set(
-        minhash_dedup_keep_ids(
-            exact_kept.select_columns(["row_id", "extracted_text"]),
-            id_col="row_id",
-            text_col="extracted_text",
-            threshold=neardup_threshold,
-        )["row_id"]
+    # Near-dup drop: pair graph → cluster → DROP-set (duplicates only,
+    # ≪ corpus) → broadcast anti-filter.  The surviving corpus never
+    # reaches the driver.
+    pairs = minhash_lsh_pairs(
+        exact_kept.select_columns(["row_id", "extracted_text"]),
+        id_col="row_id",
+        text_col="extracted_text",
+        threshold=neardup_threshold,
     )
-    corpus = exact_kept.map_batches(_keep_ids_fn(keep_near), batch_format="pyarrow")
+    drop_df = neardup_drop_ids(pairs, strategy="driver")
+    drop_ref = ray.put(drop_df["id"].to_numpy(dtype="int64"))
+    corpus = exact_kept.map_batches(_drop_ids_fn(drop_ref), batch_format="pyarrow")
     corpus = corpus.select_columns(
         ["url", "extracted_text", "n_tokens", "pred_lang", "quality"]
     )
@@ -133,10 +166,19 @@ def _with_int_id(b: pa.Table) -> pa.Table:
     return b.append_column("row_id", pa.array(ids, pa.int64()))
 
 
-def _keep_ids_fn(keep: set[int]):
+def _drop_ids_fn(drop_ref):
+    """Anti-filter against the broadcast drop-set: the ObjectRef ships
+    with each task (bytes); the numpy array is fetched from the object
+    store and converted to an Arrow value-set ONCE per worker process
+    (module-level cache), never per batch."""
+
     def f(b: pa.Table) -> pa.Table:
-        arr = pa.array(sorted(keep), pa.int64())
-        return b.filter(pc.is_in(b["row_id"], value_set=arr))
+        key = drop_ref.hex()
+        arr = _DROP_SET_CACHE.get(key)
+        if arr is None:
+            arr = pa.array(ray.get(drop_ref), pa.int64())
+            _DROP_SET_CACHE[key] = arr
+        return b.filter(pc.invert(pc.is_in(b["row_id"], value_set=arr)))
 
     return f
 
@@ -155,7 +197,11 @@ def corpus_pipeline_q(sf_dir: str) -> pd.DataFrame:
     if not os.path.exists(os.path.join(cache, "pages_0000.parquet")):
         write_pages(cache, n_rows, seed=42, num_files=8)
     pages = rd.read_parquet(cache, columns=["url", "html", "text"])
-    corpus, funnel = build_corpus(pages)
+    import shutil
+
+    ckpt = f"/tmp/occular_corpus_ckpt/q_{tier}"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    corpus, funnel = build_corpus(pages, checkpoint_dir=ckpt)
     out = corpus.select_columns(["url", "n_tokens", "pred_lang"]).to_pandas()
     out["quality_bucket"] = ""
     rows = [out]

@@ -8,6 +8,13 @@ signature/bucket rows, never the corpus.  Candidate verification happens
 inside the bucket group; quadratic blowup inside a hot bucket is bounded
 by ``max_pairs_per_bucket`` (documented cap — silent truncation would
 read as "covered everything").
+
+Clustering the pair graph (``neardup_drop_ids``) has two strategies:
+``driver`` union-find over the collected pair list (valid while pairs ≪
+corpus — the common case), and ``distributed`` min-label propagation
+(stages/cc.py) where nothing corpus-sized ever reaches the driver: the
+pair Dataset feeds connected components directly, and only the
+*drop*-set (non-representative cluster members) is collected/broadcast.
 """
 
 from __future__ import annotations
@@ -15,16 +22,27 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Min
+import pyarrow.compute as pc
+from ray.data.aggregate import Count, Min
 
 from ..functions import hashing as hs
 from ..functions.textstats import md5_fingerprint
 
 _PAIR_SCHEMA = {"id_a": "int64", "id_b": "int64", "similarity": "float64"}
+_PAIR_ARROW = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("similarity", pa.float64())]
+)
 
 
 def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame({k: pd.Series(dtype=v) for k, v in _PAIR_SCHEMA.items()})
+
+
+def _round6(x: float) -> float:
+    """Half-away-from-zero at 6 decimals — matches DuckDB ``round()`` so
+    pair similarities are oracle-comparable (Python's ``round`` is
+    half-to-even and diverges on e.g. k/128 signature fractions)."""
+    return float(np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6)
 
 
 # --- exact -------------------------------------------------------------
@@ -34,7 +52,7 @@ def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text"):
     itself never shuffles (fingerprint computed map-side)."""
 
     def add_fp(batch: pa.Table) -> pa.Table:
-        fps = [md5_fingerprint(t) for t in batch[text_col].to_pylist()]
+        fps = [md5_fingerprint(t or "") for t in batch[text_col].to_pylist()]
         return pa.table({id_col: batch[id_col], "fp": pa.array(fps, pa.string())})
 
     return (
@@ -49,7 +67,9 @@ def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text"):
 class MinHasher:
     """Actor stage: doc → (band, key, id, signature[, text]) rows.
     Permutation params are module-level constants compiled at import —
-    per-actor state per SURVEY.md §2.3."""
+    per-actor state per SURVEY.md §2.3.  Null text hashes as the empty
+    document (total over any pages/documents row, like the extract
+    kernel)."""
 
     def __init__(
         self,
@@ -71,6 +91,7 @@ class MinHasher:
         texts = batch[self.text_col].to_pylist()
         out_band, out_key, out_id, out_sig, out_text = [], [], [], [], []
         for i, t in zip(ids, texts):
+            t = t or ""
             sh = (
                 hs.char_ngrams(t, self.char_n)
                 if self.char_n
@@ -114,6 +135,35 @@ def _add_coarse(ds, src_col: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def _emit_budgeted_pairs(ids, sim_of, threshold: float, budget: int, rows: list) -> None:
+    """Shared verification skeleton for every bucket family: i<j loop
+    under the per-bucket pair budget, threshold on ``sim_of(i, j)``,
+    emit (id_a, id_b, sim) half-away-rounded at 6 decimals."""
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if budget <= 0:
+                return
+            budget -= 1
+            sim = sim_of(i, j)
+            if sim >= threshold:
+                rows.append((int(ids[i]), int(ids[j]), _round6(sim)))
+
+
+def _coarse_group_fn(bucket_cols, one_bucket):
+    """Wrap a per-fine-bucket emitter into the coarse-group map_groups
+    callable (fixed pair schema, even when no pairs emit)."""
+
+    def coarse_group(cg: pd.DataFrame) -> pd.DataFrame:
+        rows: list = []
+        for _, g in cg.groupby(bucket_cols, sort=True):
+            one_bucket(g, rows)
+        if not rows:
+            return _empty_pairs()
+        return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
+
+    return coarse_group
+
+
 def _bucket_pairs_fn(threshold: float, max_pairs_per_bucket: int, exact_ngram: int | None):
     def one_bucket(g: pd.DataFrame, rows: list) -> None:
         if len(g) < 2:
@@ -122,31 +172,14 @@ def _bucket_pairs_fn(threshold: float, max_pairs_per_bucket: int, exact_ngram: i
         ids = g["id"].to_numpy()
         sigs = [np.asarray(s) for s in g["sig"]]
         texts = g["text"].tolist() if "text" in g.columns else None
-        budget = max_pairs_per_bucket
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if budget <= 0:
-                    return
-                budget -= 1
-                if exact_ngram is not None and texts is not None:
-                    sim = hs.jaccard(
-                        hs.char_ngrams(texts[i], exact_ngram),
-                        hs.char_ngrams(texts[j], exact_ngram),
-                    )
-                else:
-                    sim = float(np.mean(sigs[i] == sigs[j]))
-                if sim >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), round(sim, 6)))
+        if exact_ngram is not None and texts is not None:
+            grams = [hs.char_ngrams(t, exact_ngram) for t in texts]
+            sim_of = lambda i, j: hs.jaccard(grams[i], grams[j])  # noqa: E731
+        else:
+            sim_of = lambda i, j: float(np.mean(sigs[i] == sigs[j]))  # noqa: E731
+        _emit_budgeted_pairs(ids, sim_of, threshold, max_pairs_per_bucket, rows)
 
-    def coarse_group(cg: pd.DataFrame) -> pd.DataFrame:
-        rows: list = []
-        for _, g in cg.groupby(["band", "key"], sort=True):
-            one_bucket(g, rows)
-        if not rows:
-            return _empty_pairs()
-        return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
-
-    return coarse_group
+    return _coarse_group_fn(["band", "key"], one_bucket)
 
 
 def _dedupe_pairs(pairs_ds):
@@ -159,6 +192,18 @@ def _dedupe_pairs(pairs_ds):
     return _add_coarse(pairs_ds, "id_a").groupby("coarse").map_groups(
         dd, batch_format="pandas"
     )
+
+
+def normalize_pairs(pairs_ds):
+    """Cast every block to the canonical (id_a, id_b, similarity) Arrow
+    schema — distributed, no driver round-trip.  Downstream Dataset ops
+    (union/join in connected components) require block-schema equality;
+    hash-aggregated outputs can disagree on nullability/empties."""
+
+    def cast(b: pa.Table) -> pa.Table:
+        return b.select(_PAIR_ARROW.names).cast(_PAIR_ARROW)
+
+    return pairs_ds.map_batches(cast, batch_format="pyarrow")
 
 
 def minhash_lsh_pairs(
@@ -225,40 +270,53 @@ def ngram_jaccard_pairs(
     return _dedupe_pairs(pairs)
 
 
-def minhash_dedup_keep_ids(
-    ds,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    strategy: str = "driver",
-    **kw,
-):
-    """Near-dup dedup: cluster candidate pairs and keep the min id per
-    cluster.  Returns the sorted keep-id list as a pandas DataFrame.
+def neardup_drop_ids(pairs_ds, *, strategy: str = "driver") -> pd.DataFrame:
+    """Cluster a near-dup pair Dataset (from ANY pair family above) and
+    return the ids to DROP — every cluster member except the min-id
+    representative.  The drop-set is the small side of dedup (≈ number
+    of duplicate documents, not corpus size), so it is the right thing
+    to collect/broadcast; ids in no pair are trivially kept and never
+    touch this function's output.
 
-    ``strategy="driver"``: union-find over the collected pair list —
-    valid while the pair list is small vs the corpus (the common case).
-    ``strategy="distributed"``: iterative min-label propagation as
-    Dataset ops (stages/cc.py) — the 10^12-row path; nothing
-    corpus-sized ever reaches the driver."""
+    ``strategy="driver"``: union-find over the collected pair list.
+    ``strategy="distributed"``: min-label propagation over the pair
+    Dataset (stages/cc.py) — the 10^12-row path; the pair list itself
+    never materializes on the driver, only the final drop-set does.
+    (For dup-heavy corpora where even the drop-set is huge, anti-join
+    the labels against the corpus with ``stages.joins.bucketed_hash_join``
+    instead of collecting — same labels Dataset feeds both.)"""
     if strategy == "distributed":
-        from .cc import connected_component_labels, keep_ids_from_labels
+        from .cc import connected_component_labels
 
-        pairs_ds = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, **kw)
-        # pairs may be schemaless-empty; normalize via pandas then back
-        pdf = pairs_ds.to_pandas()
-        if "id_a" not in pdf.columns or pdf.empty:
-            ids = sorted(ds.select_columns([id_col]).to_pandas()[id_col])
-            return pd.DataFrame({id_col: pd.Series(ids, dtype="int64")})
-        import ray.data as rd
+        pairs_m = normalize_pairs(pairs_ds).materialize()  # pair rows ≪ corpus
+        if pairs_m.count() == 0:
+            return pd.DataFrame({"id": pd.Series(dtype="int64")})
 
-        labels = connected_component_labels(
-            ds.select_columns([id_col]),
-            rd.from_pandas(pdf[["id_a", "id_b"]]),
-            id_col=id_col,
+        def flat(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": pa.concat_arrays(
+                        [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()]
+                    )
+                }
+            )
+
+        nodes = (
+            pairs_m.map_batches(flat, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(Count(alias_name="n"))
+            .select_columns(["id"])
         )
-        return keep_ids_from_labels(labels, id_col=id_col)
-    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, **kw).to_pandas()
-    all_ids = sorted(ds.select_columns([id_col]).to_pandas()[id_col].tolist())
+        labels = connected_component_labels(nodes, pairs_m, id_col="id")
+        drop = labels.map_batches(
+            lambda b: b.filter(pc.not_equal(b["id"], b["label"])).select(["id"]),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return drop.sort_values("id").reset_index(drop=True)
+
+    pairs = pairs_ds.to_pandas()
+    if pairs.empty or "id_a" not in pairs.columns:
+        return pd.DataFrame({"id": pd.Series(dtype="int64")})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -267,13 +325,51 @@ def minhash_dedup_keep_ids(
             x = parent[x]
         return x
 
-    for a, b in zip(pairs.get("id_a", []), pairs.get("id_b", [])):
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    keep = [i for i in all_ids if find(i) == i]
-    return pd.DataFrame({id_col: pd.Series(keep, dtype="int64")})
+    drop = sorted(x for x in parent if find(x) != x)
+    return pd.DataFrame({"id": pd.Series(drop, dtype="int64")})
+
+
+def minhash_dedup_keep_ids(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "driver",
+    **kw,
+):
+    """Near-dup dedup: cluster candidate pairs and keep the min id per
+    cluster.  Returns the sorted keep-id list as a pandas DataFrame
+    (the *collection* is this function's contract — pipelines that must
+    stay distributed use ``neardup_drop_ids`` + a broadcast anti-filter
+    instead, see ``pipelines/training_data.py``).
+
+    Both strategies are Dataset-shaped up to the final small result:
+    the corpus is filtered distributedly against the broadcast drop-set;
+    the driver only ever holds pair rows (``driver``) or the drop-set
+    (``distributed``)."""
+    pairs = minhash_lsh_pairs(ds, id_col=id_col, text_col=text_col, **kw)
+    drop_df = neardup_drop_ids(pairs, strategy=strategy)
+    drop_arr = pa.array(drop_df["id"].to_numpy(dtype="int64"), pa.int64())
+
+    def keep_filter(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.invert(pc.is_in(b[id_col], value_set=drop_arr))
+        ).select([id_col])
+
+    out = (
+        ds.select_columns([id_col])
+        .map_batches(keep_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return (
+        out.sort_values(id_col)
+        .reset_index(drop=True)
+        .astype({id_col: "int64"})
+    )
 
 
 # --- SimHash -----------------------------------------------------------
@@ -288,7 +384,7 @@ class SimHasher:
         width = 64 // self.n_bands
         mask = (1 << width) - 1
         for i, t in zip(ids, texts):
-            sh = hs.simhash64(t)
+            sh = hs.simhash64(t or "")
             signed = sh - (1 << 64) if sh >= (1 << 63) else sh
             for band in range(self.n_bands):
                 out["band"].append(band)
@@ -321,37 +417,23 @@ def simhash_pairs(
     silent recall loss)."""
     if n_bands is None:
         n_bands = next(d for d in (2, 4, 8, 16, 32) if d >= max_hamming + 1)
+    threshold = float(64 - max_hamming) / 64.0  # sim ≥ thr ⟺ hamming ≤ h
 
     def one_bucket(g: pd.DataFrame, rows: list) -> None:
         if len(g) < 2:
             return
         g = g.sort_values("id").drop_duplicates("id")
         ids = g["id"].to_numpy()
-        shs = g["sh"].to_numpy()
-        budget = max_pairs_per_bucket
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if budget <= 0:
-                    return
-                budget -= 1
-                d = hs.hamming64(int(shs[i]) & ((1 << 64) - 1), int(shs[j]) & ((1 << 64) - 1))
-                if d <= max_hamming:
-                    rows.append((int(ids[i]), int(ids[j]), float(64 - d) / 64.0))
-
-    def coarse_group(cg: pd.DataFrame) -> pd.DataFrame:
-        rows: list = []
-        for _, g in cg.groupby(["band", "key"], sort=True):
-            one_bucket(g, rows)
-        if not rows:
-            return _empty_pairs()
-        return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
+        shs = [int(s) & ((1 << 64) - 1) for s in g["sh"]]
+        sim_of = lambda i, j: float(64 - hs.hamming64(shs[i], shs[j])) / 64.0  # noqa: E731
+        _emit_budgeted_pairs(ids, sim_of, threshold, max_pairs_per_bucket, rows)
 
     band_rows = ds.map_batches(
         SimHasher(id_col=id_col, text_col=text_col, n_bands=n_bands),
         batch_format="pyarrow",
     )
     pairs = _add_coarse(band_rows, "key").groupby("coarse").map_groups(
-        coarse_group, batch_format="pandas"
+        _coarse_group_fn(["band", "key"], one_bucket), batch_format="pandas"
     )
     return _dedupe_pairs(pairs)
 
@@ -394,25 +476,11 @@ def embedding_neardup_pairs(
         norms[norms == 0] = 1.0
         unit = vecs / norms[:, None]
         sims = unit @ unit.T
-        budget = max_pairs_per_bucket
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if budget <= 0:
-                    return
-                budget -= 1
-                if sims[i, j] >= threshold:
-                    rows.append((int(ids[i]), int(ids[j]), round(float(sims[i, j]), 6)))
-
-    def coarse_group(cg: pd.DataFrame) -> pd.DataFrame:
-        rows: list = []
-        for _, g in cg.groupby("key", sort=True):
-            one_bucket(g, rows)
-        if not rows:
-            return _empty_pairs()
-        return pd.DataFrame(rows, columns=list(_PAIR_SCHEMA))
+        sim_of = lambda i, j: float(sims[i, j])  # noqa: E731
+        _emit_budgeted_pairs(ids, sim_of, threshold, max_pairs_per_bucket, rows)
 
     buckets = ds.map_batches(add_bucket, batch_format="pyarrow")
     pairs = _add_coarse(buckets, "key").groupby("coarse").map_groups(
-        coarse_group, batch_format="pandas"
+        _coarse_group_fn(["key"], one_bucket), batch_format="pandas"
     )
     return _dedupe_pairs(pairs)

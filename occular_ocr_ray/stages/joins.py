@@ -1,20 +1,58 @@
 """Explicit partitioned hash join — the portable large-large join
 pattern (ray_guide "Joins and lookups"): add ``bucket = hash(key) % B``
 to both sides, tag each side, union, ``groupby(bucket)``, and join
-matching buckets pairwise with pandas inside ``map_groups``.
+matching buckets pairwise with an Arrow hash join inside ``map_groups``.
 
 Exists alongside ``Dataset.join`` (used by
 ``relational.orders_join_priority``) as the version whose shuffle
 mechanics are fully explicit and portable to any Ray version: the only
 exchange is the single groupby on the bucket column, and B is the skew
 knob (salt hot keys by widening B; document per pipeline).
+
+The per-bucket join is Arrow end-to-end (``batch_format="pyarrow"`` +
+``pa.Table.join``): null-padded union columns keep their declared Arrow
+types, so int64 keys survive exactly.  (A pandas merge here would coerce
+null-padded int64 to float64 and corrupt any id ≥ 2^53 — the hash-derived
+doc ids `training_data._with_int_id` emits are in [0, 2^62).)
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _default_num_buckets() -> int:
+    """Scale the exchange width with the cluster: ~2 buckets per core
+    (floor 32) so bucket-join parallelism never caps a big cluster."""
+    try:
+        import ray
+
+        cores = int(ray.cluster_resources().get("CPU", 16)) if ray.is_initialized() else 16
+    except Exception:  # pragma: no cover - ray not importable
+        cores = 16
+    return max(32, 2 * cores)
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Dataset schema as a pa.Schema.  Pandas-block datasets (e.g.
+    ``from_pandas``) report numpy dtypes; map them to the Arrow types the
+    pyarrow batch format will deliver (object → string — feed
+    Arrow-native datasets for exotic object columns)."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(s.names, base.types):
+        if isinstance(typ, pa.DataType):
+            fields.append((name, typ))
+        elif getattr(typ, "kind", "O") == "O":
+            fields.append((name, pa.string()))
+        else:
+            fields.append((name, pa.from_numpy_dtype(typ)))
+    return pa.schema(fields)
 
 
 def bucketed_hash_join(
@@ -23,20 +61,37 @@ def bucketed_hash_join(
     *,
     left_on: str,
     right_on: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
 ):
     """Inner join left ⋈ right on integer keys.  Returns a Dataset with
-    left's columns + right's non-key columns (pandas merge semantics,
-    suffix "_r" on collisions)."""
+    left's columns + right's non-key columns (suffix "_r" on name
+    collisions; the key column is coalesced under ``left_on``)."""
+    if num_buckets is None:
+        num_buckets = _default_num_buckets()
 
     # union needs one schema: pad each side with null columns of the
-    # other side's fields (metadata-only reads)
-    lschema, rschema = left.schema(), right.schema()
-    lnames = set(lschema.names)
-    rnames = set(rschema.names)
-    pad_for_left = [(n, rschema.base_schema.field(n).type) for n in rschema.names if n not in lnames]
-    pad_for_right = [(n, lschema.base_schema.field(n).type) for n in lschema.names if n not in rnames]
-    all_names = lschema.names + [n for n in rschema.names if n not in lnames]
+    # other side's fields (metadata-only: pa.nulls keeps declared types)
+    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+    lnames = list(lschema.names)
+    rnames = list(rschema.names)
+    lset = set(lnames)
+    pad_for_left = [
+        (n, rschema.field(n).type) for n in rnames if n not in lset
+    ]
+    pad_for_right = [
+        (n, lschema.field(n).type) for n in lnames if n not in set(rnames)
+    ]
+    all_names = lnames + [n for n in rnames if n not in lset]
+
+    # output schema, fixed at build time so every bucket (including
+    # empty ones) emits identically-typed blocks
+    out_fields = [(n, lschema.field(n).type) for n in lnames]
+    for n in rnames:
+        if n == right_on:
+            continue  # coalesced into left_on
+        out_name = f"{n}_r" if n in lset else n
+        out_fields.append((out_name, rschema.field(n).type))
+    out_schema = pa.schema(out_fields)
 
     def tag(side: str, key: str, pad):
         def f(batch: pa.Table) -> pa.Table:
@@ -56,16 +111,19 @@ def bucketed_hash_join(
         right.map_batches(tag("r", right_on, pad_for_right), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].dropna(axis=1, how="all")
-        rg = g[g["__side"] == "r"].dropna(axis=1, how="all")
-        lg = lg.drop(columns=["__bucket", "__side"], errors="ignore")
-        rg = rg.drop(columns=["__bucket", "__side"], errors="ignore")
-        if lg.empty or rg.empty:
-            return pd.DataFrame()
-        m = lg.merge(rg, left_on=left_on, right_on=right_on, suffixes=("", "_r"))
-        if right_on != left_on and right_on in m.columns:
-            m = m.drop(columns=[right_on])
-        return m
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["__side"], "l")
+        # each side's real columns come from the schemas captured above —
+        # never inferred from the data (an all-null-within-bucket column
+        # must survive as nulls, not vanish)
+        lg = g.filter(lmask).select(lnames)
+        rg = g.filter(pc.invert(lmask)).select(rnames)
+        if lg.num_rows == 0 or rg.num_rows == 0:
+            return out_schema.empty_table()
+        joined = lg.join(
+            rg, keys=[left_on], right_keys=[right_on],
+            join_type="inner", right_suffix="_r",
+        )
+        return joined.select(out_schema.names).cast(out_schema)
 
-    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")

@@ -326,3 +326,32 @@ def test_minhash_dedup_strategies_agree():
     a = minhash_dedup_keep_ids(_docs_ds(rows), threshold=0.6, strategy="driver")
     b = minhash_dedup_keep_ids(_docs_ds(rows), threshold=0.6, strategy="distributed")
     assert a["doc_id"].tolist() == b["doc_id"].tolist() == [1, 3, 7]
+
+
+def test_minhash_dedup_hash_range_ids_and_null_text():
+    """Hash-derived ids ≥ 2^53 must survive the distributed CC path
+    exactly (regression: a pandas bucket join coerced null-padded int64
+    to float64 and corrupted them), and null text must hash as the empty
+    document instead of raising."""
+    from occular_ocr_ray.stages.dedup import minhash_dedup_keep_ids
+
+    big = (1 << 62) - 11
+    wide = " ".join(f"token{i} filler{i % 7}" for i in range(60))
+    rows = [(big, wide), (big - 1, wide), (5, "short solo document " * 20), (6, None)]
+    a = minhash_dedup_keep_ids(_docs_ds(rows), threshold=0.6, strategy="driver")
+    b = minhash_dedup_keep_ids(_docs_ds(rows), threshold=0.6, strategy="distributed")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist() == [5, 6, big - 1]
+
+
+def test_neardup_drop_ids_empty_pairs():
+    """No candidate pairs → empty drop-set on both strategies."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.dedup import neardup_drop_ids
+
+    pairs = rd.from_arrow(
+        pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                  "similarity": pa.array([], pa.float64())})
+    )
+    assert neardup_drop_ids(pairs, strategy="driver").empty
+    assert neardup_drop_ids(pairs, strategy="distributed").empty
