@@ -118,6 +118,91 @@ def _corpus_pipeline(sf_dir: str) -> Any:
     return corpus_pipeline_q(sf_dir)
 
 
+def _sql_str_list(words) -> str:
+    return "[" + ",".join(f"'{w}'" for w in sorted(words)) + "]"
+
+
+def _langid_sql_select() -> str:
+    """DuckDB replica of ``functions.textstats.lang_id`` (marker lists
+    come from the same module — one source of truth): cyrillic-share
+    short-circuit on the first 400 chars, marker-word hit scores, tie
+    break (score desc, lang asc) via alphabetical-order >= cascade.
+    Validated exact vs the Python kernel at sf0.001 and sf0.01."""
+    from occular_ocr_ray.functions.textstats import _LANG_MARKERS
+
+    marker_cols = ",\n        ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_str_list(m)}, x))) AS s_{l}"
+        for l, m in _LANG_MARKERS.items()
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             substr(text, 1, 400) AS head,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), sc AS (
+      SELECT doc_id, text, lang, toks,
+        length(regexp_replace(head, '[^\\x{{0400}}-\\x{{04FF}}]', '', 'g')) AS n_cyr,
+        length(head) AS n_head,
+        {marker_cols}
+      FROM t
+    ), pred AS (
+      SELECT doc_id, lang,
+        CASE WHEN text IS NULL OR text = '' THEN 'und'
+             WHEN CAST(n_cyr AS DOUBLE) > 0.3 * n_head THEN 'ru'
+             WHEN len(toks) = 0 THEN 'und'
+             WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_ru
+               THEN (CASE WHEN s_de > 0 THEN 'de' ELSE 'und' END)
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_ru
+               THEN (CASE WHEN s_en > 0 THEN 'en' ELSE 'und' END)
+             WHEN s_es >= s_fr AND s_es >= s_ru
+               THEN (CASE WHEN s_es > 0 THEN 'es' ELSE 'und' END)
+             WHEN s_fr >= s_ru
+               THEN (CASE WHEN s_fr > 0 THEN 'fr' ELSE 'und' END)
+             ELSE (CASE WHEN s_ru > 0 THEN 'ru' ELSE 'und' END)
+        END AS pred_lang
+      FROM sc
+    )"""
+
+
+def _quality_sql_select() -> str:
+    """DuckDB replica of ``functions.textstats.quality_score`` — the
+    C4/Gopher-style blend (length saturation, mean word length,
+    punctuation ratio via [^\\p{L}\\p{N}_\\s], stopword presence).
+    Validated exact vs the Python kernel at sf0.001 and sf0.01."""
+    from occular_ocr_ray.functions.textstats import _STOPWORDS_EN
+
+    stop = _sql_str_list(_STOPWORDS_EN)
+    return f"""
+    , qt AS (
+      SELECT doc_id, text,
+             length(text) AS n,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ), qf AS (
+      SELECT doc_id, n, len(toks) AS n_tok,
+        least(1.0, CAST(n AS DOUBLE)/1000.0) AS len_factor,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/len(toks)
+        END AS mean_wl,
+        length(regexp_replace(text, '[\\p{{L}}\\p{{N}}_\\s]', '', 'g')) AS n_punct,
+        len(list_filter(toks, x -> list_contains({stop}, lower(x)))) AS stop_hits
+      FROM qt
+    ), qual AS (
+      SELECT doc_id,
+        CASE WHEN n = 0 OR n_tok = 0 THEN 0.0 ELSE
+          round(least(1.0, greatest(0.0,
+            0.35*len_factor
+            + 0.2*(CASE WHEN mean_wl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+            + 0.2*(CASE WHEN CAST(n_punct AS DOUBLE)/n <= 0.2 THEN 1.0
+                        ELSE greatest(0.0, 1.0 - (CAST(n_punct AS DOUBLE)/n - 0.2)*2) END)
+            + 0.25*(CASE WHEN n_tok >= 5 THEN least(1.0, 4.0*stop_hits/n_tok) ELSE 0.5 END)
+          )), 6)
+        END AS quality
+      FROM qf
+    )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -263,6 +348,56 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(text) ORDER BY doc_id
+        """,
+        # --- pinned-output oracles (committed parquet, sf0.01) -------
+        # LSH banding / IVF probing / media decode / the extract kernel
+        # have no ANSI-SQL semantics; these oracles pin the deterministic
+        # output (scripts/make_expected.py, regenerated on intentional
+        # change) so the driver still gets a cross-process rows+schema+
+        # hash check.  Semantic verification lives in pytest (goldens,
+        # recall-vs-exact, cross-strategy equality).
+        **{
+            name: f"SELECT * FROM read_parquet('/root/repo/tests/expected/sf0.01/{name}.parquet') ORDER BY {order}"
+            for name, order in {
+                "minhash_pairs": "id_a, id_b",
+                "simhash_pairs": "id_a, id_b",
+                "minhash_dedup_keep": "doc_id",
+                "knn_ivf": "query_id, rank",
+                "embedding_neardup": "id_a, id_b",
+                "media_decode": "media_id",
+                "extract_pages": "url",
+                "corpus_pipeline": "url",
+            }.items()
+        },
+        "langid_predictions": _langid_sql_select() + """
+            SELECT doc_id, lang, pred_lang FROM pred ORDER BY doc_id
+        """,
+        "quality_scores": _langid_sql_select() + _quality_sql_select() + """
+            SELECT p.doc_id, q.quality, p.pred_lang
+            FROM pred p JOIN qual q ON p.doc_id = q.doc_id
+            ORDER BY p.doc_id
+        """,
+        "ngram_jaccard": """
+            WITH g AS (
+              SELECT DISTINCT doc_id,
+                     CASE WHEN length(text) < 3 THEN text
+                          ELSE substr(text, i, 3) END AS gram
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text)-2, 1))) AS t(i)
+              WHERE text IS NOT NULL AND text <> ''
+            ), sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix
+              FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(ix AS DOUBLE)/(sa.sz + sb.sz - ix), 6) AS similarity
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(ix AS DOUBLE)/(sa.sz + sb.sz - ix) >= 0.8
+            ORDER BY id_a, id_b
         """,
         "knn_bruteforce": """
             WITH q AS (

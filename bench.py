@@ -218,18 +218,14 @@ def run_stats() -> None:
     DataContext.get_current().enable_progress_bars = False
     import ray.data as rd
 
-    from occular_ocr_ray.pipelines.flagship import MetricsCollector, _add_part, extract_dataset
+    from occular_ocr_ray.pipelines.flagship import _WaveSink, extract_dataset
 
     _ensure_pages()
     ds = rd.read_parquet(PAGES_DIR, columns=["url", "html", "text"])
-    coll = ray.remote(num_cpus=0)(MetricsCollector).remote()
-    out = extract_dataset(ds, batch_size=16).map_batches(
-        _add_part(64, coll), batch_format="pyarrow"
-    )
+    out = extract_dataset(ds, batch_size=16, num_parts=64)
     shutil.rmtree("/tmp/graft_stats_out", ignore_errors=True)
-    out.write_parquet("/tmp/graft_stats_out")
+    out.write_datasink(_WaveSink("/tmp/graft_stats_out"))
     print(out.stats(), file=sys.stderr)
-    ray.kill(coll)
     ray.shutdown()
 
 

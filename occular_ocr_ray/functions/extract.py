@@ -128,11 +128,16 @@ def extract_row(
     html: bytes | None,
     text: str | None,
     thresholds: dict | None = None,
+    force_parse: bool = False,
 ) -> dict[str, Any]:
     """Extract one page.  Total and deterministic for any input row.
     ``thresholds`` (extension surface) tunes the parsed-branch
-    classifier; None/empty = the frozen golden-contract defaults."""
-    if text:
+    classifier; None/empty = the frozen golden-contract defaults.
+    ``force_parse`` re-extracts from the raw payload even when a native
+    ``text`` layer exists (analog of the reference's ``force_ocr``,
+    ``pipeline.py:94`` — the recovery path for stale/bad text columns);
+    rows with no payload still fall back to the native branch."""
+    if text and not (force_parse and html):
         return _extract_native(url, text)
     if html and html.startswith(LAYOUT_MAGIC):
         return _extract_layout(url, html)

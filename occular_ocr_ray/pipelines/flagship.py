@@ -4,10 +4,18 @@
 Graft lifecycle per SURVEY.md §3: ``read_parquet(pages)`` (pruned to the
 3 columns extraction needs) → *(resume: drop completed waves)* →
 ``map_batches(DensityExtractor, batch_format="pyarrow",
-concurrency=..., batch_size=...)`` → add ``part = crc32(host(url)) % P``
-while pushing per-part metric partials to a MetricsCollector actor →
-``write_parquet(out/data/wave=<k>/)`` → manifest from the collector
-(no second scan of the output).
+concurrency=..., batch_size=...)`` — which assembles the output rows AND
+the ``part = crc32(host(url)) % P`` column in one Arrow pass →
+``write_datasink(_WaveSink)`` → manifest from the sink's write returns
+(no second scan of the output, no metrics actor).
+
+Metrics design: each write task returns its per-partition metric partial
+as the task's write result; Ray Data collects write returns on the
+driver with exactly-once semantics (a retried write task's return
+replaces, never duplicates).  This replaces the round-1 MetricsCollector
+actor — which cost one blocking actor RPC per extract batch on the hot
+path and had to dedup retries by content hash (wrongly dropping distinct
+batches with identical url multisets).
 
 Checkpoint/resume design (SURVEY.md §4, "north_rule: per-partition
 lineage + metrics"; Ray Data has no built-in resume):
@@ -22,14 +30,16 @@ lineage + metrics"; Ray Data has no built-in resume):
   crashed wave's partial output is deleted and recomputed, so re-runs
   are byte-identical (the extract kernel is pure per row).
 
-Skew note (SURVEY.md §4): giant documents are NOT chunk-split —
+Skew note (SURVEY.md §4): giant documents are never chunk-split —
 splitting HTML mid-document would change the parse and break
-byte-identity.  Instead skew is bounded by (a) a modest ``batch_size``
-so one giant cannot hold dozens of rows hostage, and (b) Ray Data's
-dynamic block splitting on output.  The per-row cost is linear in
-payload size, so an actor processing a giant is dense useful compute,
-not padding waste (the failure mode the reference's width-bucketing
-fought, ``recognizer_onnx.py:62-86``).
+byte-identity.  Two mitigations instead: (a) a modest ``batch_size`` so
+one giant cannot hold dozens of rows hostage, and (b) opt-in
+``giant_threshold`` routing — rows whose html payload exceeds the
+threshold take a sibling ``batch_size=1`` stage (same pure kernel, so
+outputs and per-part rollups are unchanged), which caps the straggler
+tail at one document per task.  The routing reads the (pruned) input
+once per branch; at petabyte scale prefer pre-bucketing inputs by
+payload size at ingest and feeding each bucket its own wave set.
 """
 
 from __future__ import annotations
@@ -39,85 +49,19 @@ import hashlib
 import json
 import os
 import shutil
-import zlib
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
+from ray.data import Datasink
 
+from ..stages.extractor import url_host_part  # noqa: F401  (re-export; part key)
 from ..state.registry import get_extractor
 from ..stages import extractor as _extractor_mod  # noqa: F401  (registers "density")
 
 DEFAULT_NUM_PARTS = 64
-
-
-def url_host_part(url: str, num_parts: int = DEFAULT_NUM_PARTS) -> int:
-    """Hash-partition key: crc32 of the url host, mod P.  crc32 (not
-    ``hash()``) so the key is stable across processes/runs — required
-    for resume and for cross-run output layout stability."""
-    try:
-        host = url.split("/", 3)[2]
-    except IndexError:
-        host = url
-    return zlib.crc32(host.encode("utf-8")) % num_parts
-
-
-def _add_part(num_parts: int, collector=None):
-    """Append the hash-partition column; optionally push per-part metric
-    partials to a MetricsCollector actor (see _run_wave)."""
-
-    def add_part(batch: pa.Table) -> pa.Table:
-        import ray
-
-        urls = batch["url"].to_pylist()
-        parts = [url_host_part(u, num_parts) for u in urls]
-        batch = batch.append_column("part", pa.array(parts, type=pa.int32()))
-        if collector is not None:
-            kept = batch["n_blocks_kept"].to_pylist()
-            dropped = batch["n_blocks_dropped"].to_pylist()
-            emitted = batch["bytes_emitted"].to_pylist()
-            partial: dict[int, list[int]] = {}
-            for p, k, d, e in zip(parts, kept, dropped, emitted):
-                acc = partial.setdefault(p, [0, 0, 0, 0])
-                acc[0] += k
-                acc[1] += d
-                acc[2] += e
-                acc[3] += 1
-            # content-derived batch id: a retried task re-sends the same
-            # id and the collector drops the duplicate (no double count)
-            batch_id = hashlib.md5("\n".join(sorted(urls)).encode()).hexdigest()
-            ray.get(collector.add.remote(batch_id, partial))
-        return batch
-
-    return add_part
-
-
-class MetricsCollector:
-    """Tiny zero-CPU actor accumulating per-partition extraction metrics
-    during the write pass — replaces a post-hoc read-back rollup
-    (measured ~5 s of fixed all-to-all overhead per wave; at 10^12-doc
-    scale the read-back would re-scan per-row metric columns, while this
-    actor sees only one small dict per batch).  This is the one place
-    the engine uses a raw Ray actor: shared mutable state the Dataset
-    API cannot express (SURVEY.md build rules).  Shard by part-range if
-    a single inbox ever bottlenecks (>~10k batches/s)."""
-
-    def __init__(self) -> None:
-        self.acc: dict[int, list[int]] = {}
-        self.seen: set[str] = set()
-
-    def add(self, batch_id: str, partial: dict[int, list[int]]) -> None:
-        if batch_id in self.seen:
-            return
-        self.seen.add(batch_id)
-        for p, (k, d, e, n) in partial.items():
-            acc = self.acc.setdefault(p, [0, 0, 0, 0])
-            acc[0] += k
-            acc[1] += d
-            acc[2] += e
-            acc[3] += n
-
-    def get(self) -> dict[int, list[int]]:
-        return self.acc
+_METRIC_COLS = ("n_blocks_kept", "n_blocks_dropped", "bytes_emitted")
 
 
 def extract_dataset(
@@ -127,6 +71,9 @@ def extract_dataset(
     concurrency=None,
     batch_size: int = 32,
     num_parts: int | None = None,
+    force_parse: bool = False,
+    giant_threshold: int | None = None,
+    extractor_kwargs: dict | None = None,
 ) -> rd.Dataset:
     """The core transform: pages Dataset → extracted Dataset.
 
@@ -136,23 +83,118 @@ def extract_dataset(
     state).  ``num_cpus`` stays 1: the kernel is pure Python, no
     intra-op threading to oversubscribe (cf. the reference's ORT
     ``intra_op_num_threads`` pitfall, ``dbnet_detector_onnx.py:31``).
+
+    ``giant_threshold`` (bytes): route rows with larger html payloads to
+    a ``batch_size=1`` sibling stage running the SAME kernel — identical
+    outputs, bounded straggler tail.  The giant branch always runs as
+    stateless tasks (giants are rare; a second actor pool would double
+    CPU reservations).
     """
     cls = get_extractor(extractor)
-    if concurrency is None:
-        out = ds.map_batches(
-            cls(), batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    kwargs = dict(extractor_kwargs or {})
+    kwargs["num_parts"] = num_parts
+    kwargs["force_parse"] = force_parse
+
+    def _stage(src: rd.Dataset, bs: int, conc):
+        if conc is None:
+            return src.map_batches(
+                cls(**kwargs), batch_format="pyarrow", batch_size=bs,
+                zero_copy_batch=True,
+            )
+        return src.map_batches(
+            cls, fn_constructor_kwargs=kwargs, batch_format="pyarrow",
+            batch_size=bs, concurrency=conc, num_cpus=1,
         )
-    else:
-        out = ds.map_batches(
-            cls,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-            num_cpus=1,
-        )
-    if num_parts:
-        out = out.map_batches(_add_part(num_parts), batch_format="pyarrow")
-    return out
+
+    if giant_threshold is None:
+        return _stage(ds, batch_size, concurrency)
+
+    def _size_filter(want_giant: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ln = pc.fill_null(pc.binary_length(b["html"]), 0)
+            mask = (
+                pc.greater(ln, giant_threshold)
+                if want_giant
+                else pc.less_equal(ln, giant_threshold)
+            )
+            return b.filter(mask)
+
+        return f
+
+    small = ds.map_batches(_size_filter(False), batch_format="pyarrow")
+    giant = ds.map_batches(_size_filter(True), batch_format="pyarrow")
+    return _stage(small, batch_size, concurrency).union(_stage(giant, 1, None))
+
+
+class _WaveSink(Datasink):
+    """Per-wave parquet sink + exactly-once metrics rollup.
+
+    ``write`` runs in each write task: one parquet file per block, named
+    by ``(task_idx, block_ordinal)`` — deterministic, so a retried task
+    overwrites its own files instead of duplicating rows — and returns
+    the task's per-partition metric partial {part: [kept, dropped,
+    bytes, rows]}.  ``on_write_complete`` (driver) merges the partials;
+    Ray Data delivers exactly one return per successful task, so the
+    rollup needs no retry dedup.  This is the flagship's only metrics
+    path — accumulated during the write pass, never a second scan."""
+
+    def __init__(self, wave_dir: str, hive_partition: bool = False) -> None:
+        self._dir = wave_dir
+        self._hive = hive_partition
+        self.acc: dict[int, list[int]] = {}
+
+    @property
+    def supports_distributed_writes(self) -> bool:
+        return True
+
+    def on_write_start(self) -> None:
+        os.makedirs(self._dir, exist_ok=True)
+
+    def _write_table(self, tbl: pa.Table, fname: str) -> None:
+        import pyarrow.parquet as pq
+
+        if not self._hive:
+            pq.write_table(tbl, os.path.join(self._dir, fname))
+            return
+        # hive layout: out/part=<k>/ dirs (opt-in: 17x more files for +3%
+        # wall measured at 32 cpus — see round-1 BASELINE notes)
+        parts = tbl["part"].to_numpy(zero_copy_only=False)
+        for p in np.unique(parts):
+            sub = tbl.filter(pc.equal(tbl["part"], int(p)))
+            d = os.path.join(self._dir, f"part={int(p)}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, fname))
+
+    def write(self, blocks, ctx) -> dict[int, list[int]]:
+        from ray.data.block import BlockAccessor
+
+        partial: dict[int, list[int]] = {}
+        for bi, block in enumerate(blocks):
+            tbl = BlockAccessor.for_block(block).to_arrow()
+            if tbl.num_rows == 0:
+                continue
+            self._write_table(tbl, f"part-{ctx.task_idx:06d}-{bi:04d}.parquet")
+            parts = tbl["part"].to_numpy(zero_copy_only=False)
+            kept, dropped, emitted = (
+                tbl[c].to_numpy(zero_copy_only=False) for c in _METRIC_COLS
+            )
+            for p in np.unique(parts):
+                m = parts == p
+                acc = partial.setdefault(int(p), [0, 0, 0, 0])
+                acc[0] += int(kept[m].sum())
+                acc[1] += int(dropped[m].sum())
+                acc[2] += int(emitted[m].sum())
+                acc[3] += int(m.sum())
+        return partial
+
+    def on_write_complete(self, write_result) -> None:
+        for partial in write_result.write_returns:
+            for p, (k, d, e, n) in partial.items():
+                acc = self.acc.setdefault(int(p), [0, 0, 0, 0])
+                acc[0] += k
+                acc[1] += d
+                acc[2] += e
+                acc[3] += n
 
 
 def _patch_fsspec_http_race() -> None:
@@ -204,6 +246,9 @@ def run_extraction(
     num_parts: int = 16,
     hive_partition: bool = False,
     wave_concurrency: int = 2,
+    force_parse: bool = False,
+    giant_threshold: int | None = None,
+    extractor_kwargs: dict | None = None,
 ) -> dict:
     """Run (or resume) the flagship job.  Returns a summary dict with
     per-wave status and global totals.
@@ -256,7 +301,9 @@ def run_extraction(
                     os.path.join(manifest_dir, f"wave_{k}.json"),
                     extractor=extractor, concurrency=concurrency,
                     batch_size=batch_size, num_parts=num_parts,
-                    hive_partition=hive_partition,
+                    hive_partition=hive_partition, force_parse=force_parse,
+                    giant_threshold=giant_threshold,
+                    extractor_kwargs=extractor_kwargs,
                 )
                 for k in to_run
             }
@@ -282,37 +329,25 @@ def _run_wave(
     batch_size: int,
     num_parts: int,
     hive_partition: bool = False,
+    force_parse: bool = False,
+    giant_threshold: int | None = None,
+    extractor_kwargs: dict | None = None,
 ) -> dict:
-    import ray
-
     wave_dir = os.path.join(data_dir, f"wave={k}")
     if os.path.exists(wave_dir):  # partial output from a crashed run
         shutil.rmtree(wave_dir)
 
-    collector = ray.remote(num_cpus=0)(MetricsCollector).remote()
     # Prune at the read: extraction needs only these three columns.
     ds = rd.read_parquet(files, columns=["url", "html", "text"])
     out = extract_dataset(
         ds, extractor=extractor, concurrency=concurrency,
-        batch_size=batch_size,
-    ).map_batches(_add_part(num_parts, collector), batch_format="pyarrow")
-    # Default layout: wave dir + `part` as a plain column (readable via
-    # parquet row-group stats).  hive_partition=True adds out/part=<k>/
-    # dirs — at high num_parts x many tasks this explodes small-file
-    # counts (measured 17x more files for +3% wall), so it is opt-in.
-    # NOTE: no min_rows_per_file — merging output blocks into few files
-    # funnels the write through a handful of tasks (measured 2.7x slower
-    # end-to-end at 32 cpus); one file per output block keeps the write
-    # embarrassingly parallel.  Control file size via batch_size instead.
-    if hive_partition:
-        out.write_parquet(wave_dir, partition_cols=["part"])
-    else:
-        out.write_parquet(wave_dir)
+        batch_size=batch_size, num_parts=num_parts, force_parse=force_parse,
+        giant_threshold=giant_threshold, extractor_kwargs=extractor_kwargs,
+    )
+    sink = _WaveSink(wave_dir, hive_partition)
+    out.write_datasink(sink)
 
-    # Metrics rollup straight from the collector actor — accumulated
-    # map-side during the write pass, no second scan of the output.
-    acc = ray.get(collector.get.remote())
-    ray.kill(collector)
+    acc = sink.acc
     per_part = [
         {
             "part": int(p),

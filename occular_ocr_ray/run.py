@@ -1,12 +1,18 @@
 """CLI entry point — the graft analog of the reference's CLI
 (``ocr_skel/cli.py:22-184``): input/output resolution, component
-selection (``--extractor``), sink selection, error → stderr + exit 1.
+selection (``--extractor`` + ``--extractor-arg`` kwargs passthrough,
+cf. ``cli.py:94-103``), sink selection (parquet always; ``--json-out``
+file sink and ``--stdout-text`` console sink, cf. ``cli.py:161-180``),
+``--force-parse`` (cf. ``pipeline.py:94`` force_ocr), error → stderr +
+exit 1.
 
 Intended launch shape on a real cluster (SURVEY.md §3):
 
     ray job submit -- python -m occular_ocr_ray.run \\
         --input <pages_parquet_dir> --output <out_dir> \\
         [--num-waves 16] [--num-parts 64] [--extractor density] \\
+        [--extractor-arg keep_thresh=0.4] [--force-parse] \\
+        [--giant-threshold 4000000] [--json-out <dir>] [--stdout-text] \\
         [--concurrency 8] [--batch-size 32] [--no-resume]
 
 This module OWNS a Ray session (guarded init, shutdown at exit) —
@@ -20,6 +26,24 @@ import json
 import sys
 
 
+def _parse_extractor_args(pairs: list[str]) -> dict:
+    """``key=value`` strings → kwargs dict with int/float coercion (the
+    thresholds in functions/classify.py are numeric)."""
+    out: dict = {}
+    for p in pairs:
+        if "=" not in p:
+            raise ValueError(f"--extractor-arg expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        try:
+            out[k] = int(v)
+        except ValueError:
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = v
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="occular_ocr_ray",
@@ -28,6 +52,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="directory of pages parquet shards")
     ap.add_argument("--output", required=True, help="output directory (data/ + manifest/)")
     ap.add_argument("--extractor", default="density")
+    ap.add_argument("--extractor-arg", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="extractor constructor kwarg (repeatable), e.g. keep_thresh=0.4")
     ap.add_argument("--num-waves", type=int, default=4)
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=32)
@@ -37,6 +64,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="recompute every wave even if its manifest exists")
     ap.add_argument("--hive-partition", action="store_true",
                     help="write hive-style part=<k> dirs (many small files)")
+    ap.add_argument("--force-parse", action="store_true",
+                    help="re-extract from the raw payload even when a native "
+                         "text layer exists (reference force_ocr analog)")
+    ap.add_argument("--giant-threshold", type=int, default=None, metavar="BYTES",
+                    help="route html payloads larger than BYTES to a "
+                         "batch_size=1 sibling stage (skew mitigation)")
+    ap.add_argument("--json-out", default=None, metavar="DIR",
+                    help="also write extracted rows as JSON files under DIR")
+    ap.add_argument("--stdout-text", action="store_true",
+                    help="stream extracted text to stdout (summary moves to "
+                         "stderr) — the reference CLI's plain-text sink")
     args = ap.parse_args(argv)
 
     import ray
@@ -44,7 +82,7 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
-        from .pipelines.flagship import run_extraction
+        from .pipelines.flagship import read_extracted, run_extraction
 
         summary = run_extraction(
             args.input,
@@ -56,8 +94,28 @@ def main(argv: list[str] | None = None) -> int:
             batch_size=args.batch_size,
             num_parts=args.num_parts,
             hive_partition=args.hive_partition,
+            force_parse=args.force_parse,
+            giant_threshold=args.giant_threshold,
+            extractor_kwargs=_parse_extractor_args(args.extractor_arg),
         )
-        print(json.dumps(summary, indent=1))
+        if args.json_out:
+            # JSON file sink (reference --out, cli.py:161-164): one JSON
+            # file per block, written in parallel — debugging/interchange
+            # format, not the scale path.
+            read_extracted(
+                args.output, columns=["url", "extracted_text", "method"]
+            ).write_json(args.json_out)
+        if args.stdout_text:
+            # Console sink (reference default sink, cli.py:169-180):
+            # inherently driver-side; streams batch-by-batch, never
+            # materializes the corpus.
+            ds = read_extracted(args.output, columns=["extracted_text"])
+            for batch in ds.iter_batches(batch_format="pyarrow"):
+                for t in batch["extracted_text"].to_pylist():
+                    print(t)
+            print(json.dumps(summary, indent=1), file=sys.stderr)
+        else:
+            print(json.dumps(summary, indent=1))
         return 0
     except Exception as exc:  # CLI boundary: message + nonzero exit
         print(f"error: {exc}", file=sys.stderr)

@@ -13,11 +13,24 @@ inside the parse.
 
 from __future__ import annotations
 
+import zlib
+
 import pyarrow as pa
 
 from ..functions.extract import extract_row
 from ..schemas import EXTRACTED_SCHEMA
 from ..state.registry import register_extractor
+
+
+def url_host_part(url: str, num_parts: int) -> int:
+    """Hash-partition key: crc32 of the url host, mod P.  crc32 (not
+    ``hash()``) so the key is stable across processes/runs — required
+    for resume and for cross-run output layout stability."""
+    try:
+        host = url.split("/", 3)[2]
+    except IndexError:
+        host = url
+    return zlib.crc32(host.encode("utf-8")) % num_parts
 
 
 class DensityExtractor:
@@ -28,23 +41,35 @@ class DensityExtractor:
     module-level frozensets, so ``__init__`` is cheap — but the actor
     shape is load-bearing: it keeps per-batch overhead at zero as the
     heuristic state grows (stopword tables, codepoint maps, ML scorers).
+
+    ``num_parts`` fuses the hash-partition column into the same output
+    assembly (one Arrow pass instead of a separate ``map_batches``);
+    ``force_parse`` re-extracts from the raw payload even when a native
+    text layer exists (reference ``force_ocr``, ``pipeline.py:94``).
     """
 
-    def __init__(self, **thresholds) -> None:
+    def __init__(self, num_parts: int | None = None, force_parse: bool = False,
+                 **thresholds) -> None:
         # Touch the heuristic tables so import/compile cost is paid at
         # actor construction, not first batch.
         from ..functions import classify, html_blocks  # noqa: F401
 
         self._extract = extract_row
         self._thresholds = thresholds or None  # None = frozen defaults
+        self._num_parts = num_parts
+        self._force_parse = force_parse
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         texts = batch["text"].to_pylist()
-        th = self._thresholds
-        out = [self._extract(u, h, t, th) for u, h, t in zip(urls, htmls, texts)]
-        return rows_to_table(out)
+        th, fp = self._thresholds, self._force_parse
+        out = [self._extract(u, h, t, th, fp) for u, h, t in zip(urls, htmls, texts)]
+        table = rows_to_table(out)
+        if self._num_parts:
+            parts = [url_host_part(u, self._num_parts) for u in urls]
+            table = table.append_column("part", pa.array(parts, pa.int32()))
+        return table
 
 
 def rows_to_table(rows: list[dict]) -> pa.Table:
@@ -101,8 +126,10 @@ class LenientExtractor(DensityExtractor):
     keep threshold + shorter minimum — keeps headings and short
     paragraphs the default classifier drops.  NOT golden-contract."""
 
-    def __init__(self) -> None:
-        super().__init__(keep_thresh=0.25, min_chars=12)
+    def __init__(self, **kw) -> None:
+        kw.setdefault("keep_thresh", 0.25)
+        kw.setdefault("min_chars", 12)
+        super().__init__(**kw)
 
 
 register_extractor("density", DensityExtractor)

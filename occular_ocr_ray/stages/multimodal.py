@@ -115,14 +115,16 @@ class FrameSample:
         )
 
 
-def decode_dataset(ds, media_col: str = "media", concurrency=2, batch_size: int = 16):
+def decode_dataset(ds, media_col: str = "media", concurrency=None, batch_size: int = 16):
     """Media Dataset → metadata Dataset (actor pool, small batches for
     large binary payloads)."""
+    from .util import default_pool
+
     return ds.map_batches(
         MediaDecode,
         fn_constructor_kwargs={"media_col": media_col},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else default_pool(),
         num_cpus=1,
     )

@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from .util import default_pool
+
 
 def _as_matrix(col) -> np.ndarray:
     return np.array(col.to_pylist(), dtype=np.float64)
@@ -84,7 +86,8 @@ def _final_topk(k: int):
 
 
 def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
-                   id_col: str = "vec_id", vec_col: str = "embedding"):
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   concurrency=None):
     """Exact cosine top-k of each query id against the full corpus
     (self excluded).  Returns (query_id, neighbor_id, rank)."""
     qdf = _filter_ids(ds, id_col, query_ids).to_pandas()
@@ -97,7 +100,7 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=concurrency if concurrency is not None else default_pool(),
         num_cpus=1,
     )
     return cand.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
@@ -119,7 +122,7 @@ def _kmeans(mat: np.ndarray, n_clusters: int, n_iter: int = 10, seed: int = 7) -
 
 def knn_ivf(ds, query_ids: list[int], k: int = 5, *, n_clusters: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-            train_sample: int = 2048):
+            train_sample: int = 2048, concurrency=None):
     """IVF approximate top-k: seeded k-means on a driver-side sample
     (bounded ``train_sample`` rows — the only materialized subset), then
     map-side cluster assignment and probe-filtered scan.  At cluster
@@ -167,5 +170,6 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, *, n_clusters: int = 16,
             )
 
     cand = ds.map_batches(_IVFTopK, batch_format="pyarrow", batch_size=4096,
-                          concurrency=2, num_cpus=1)
+                          concurrency=concurrency if concurrency is not None else default_pool(),
+                          num_cpus=1)
     return cand.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

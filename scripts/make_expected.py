@@ -1,0 +1,108 @@
+"""Generate committed expected-value parquet for driver queries whose
+semantics are NOT expressible in ANSI SQL (LSH banding, IVF probing,
+fake-media decode, the extraction kernel itself).
+
+These are *pinned-output* oracles, not independent re-derivations: they
+verify determinism, cross-process reproducibility and regression-freedom
+(the driver recomputes the Ray pipeline in its own process and
+hash-compares against these files), while the semantic checks live in
+pytest (golden byte-identity for extraction, recall-vs-exact for IVF,
+cross-strategy equality for dedup).  Queries with a real semantic SQL
+oracle (ngram_jaccard, quality_scores, langid_predictions, …) do NOT go
+through this file.
+
+Each query is run twice in-session; a mismatch aborts (a query must be
+deterministic before its output may be pinned).  Cheap independent
+sanity checks run where possible (pair sims vs exact Jaccard, simhash
+hamming bounds).
+
+Regenerate (after any intentional kernel/param change):
+    python scripts/make_expected.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "expected", "sf0.01",
+)
+
+PINNED = [
+    "minhash_pairs",
+    "simhash_pairs",
+    "minhash_dedup_keep",
+    "knn_ivf",
+    "embedding_neardup",
+    "media_decode",
+    "extract_pages",
+    "corpus_pipeline",
+]
+
+
+def _sanity(name: str, df) -> None:
+    import duckdb
+
+    from occular_ocr_ray.functions import hashing as hs
+
+    if name in ("minhash_pairs", "simhash_pairs"):
+        docs = dict(
+            duckdb.sql(
+                f"select doc_id, text from read_parquet('{SF_DIR}/documents.parquet')"
+            ).fetchall()
+        )
+        for _, r in df.iterrows():
+            a, b = docs[r["id_a"]], docs[r["id_b"]]
+            if name == "minhash_pairs":
+                exact = hs.jaccard(hs.shingles(a or ""), hs.shingles(b or ""))
+                assert abs(exact - r["similarity"]) < 0.25, (name, r, exact)
+            else:
+                d = hs.hamming64(hs.simhash64(a or ""), hs.simhash64(b or ""))
+                assert d <= 3 and abs(r["similarity"] - (64 - d) / 64.0) < 1e-9
+    if name == "minhash_dedup_keep":
+        assert df["doc_id"].is_monotonic_increasing and df["doc_id"].is_unique
+    if name == "knn_ivf":
+        assert set(df.groupby("query_id")["rank"].max()) == {5}
+
+
+def main() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for name in PINNED:
+        runs = []
+        for _ in range(2):
+            r = qs[name](SF_DIR)
+            if hasattr(r, "to_pandas"):
+                r = r.to_pandas()
+            runs.append(r.reset_index(drop=True))
+        assert runs[0].equals(runs[1]), f"{name} is not deterministic — cannot pin"
+        _sanity(name, runs[0])
+        pq.write_table(
+            pa.Table.from_pandas(runs[0], preserve_index=False),
+            os.path.join(OUT_DIR, f"{name}.parquet"),
+        )
+        print(f"pinned {name}: {len(runs[0])} rows")
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

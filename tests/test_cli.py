@@ -41,3 +41,62 @@ def test_cli_missing_input(tmp_path):
     r = _run_cli(["--input", str(tmp_path / "nope"), "--output", str(tmp_path / "o")])
     assert r.returncode == 1
     assert "error:" in r.stderr
+
+
+def test_cli_sinks_and_force_parse(tmp_path):
+    """--json-out writes a JSON sink; --stdout-text streams text with the
+    summary on stderr; --force-parse changes the method mix (native-text
+    rows re-extracted from html)."""
+    from occular_ocr_ray.sources.pages import write_pages
+
+    pages = tmp_path / "pages"
+    write_pages(str(pages), 40, num_files=2)
+
+    out = tmp_path / "out"
+    r = _run_cli([
+        "--input", str(pages), "--output", str(out), "--num-waves", "1",
+        "--json-out", str(tmp_path / "json"), "--stdout-text",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    json_files = list((tmp_path / "json").rglob("*.json"))
+    assert json_files and json.loads(open(json_files[0]).readline())["url"]
+    assert "waves" in r.stderr  # summary moved to stderr
+    assert len(r.stdout.strip()) > 0  # extracted text on stdout
+
+    out2 = tmp_path / "out_fp"
+    r2 = _run_cli([
+        "--input", str(pages), "--output", str(out2), "--num-waves", "1",
+        "--force-parse",
+    ])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    import duckdb
+
+    methods = dict(
+        duckdb.sql(
+            f"select method, count(*) from read_parquet('{out2}/data/*/*.parquet') group by 1"
+        ).fetchall()
+    )
+    # native-text rows carry an html payload in the fixture mix, so the
+    # forced run must contain zero native-branch rows
+    assert methods.get("native", 0) == 0 and methods.get("parsed", 0) > 0
+
+
+def test_cli_extractor_kwargs(tmp_path):
+    """--extractor-arg passes thresholds through to the extractor ctor:
+    a lower keep threshold keeps strictly more blocks."""
+    from occular_ocr_ray.sources.pages import write_pages
+
+    pages = tmp_path / "pages"
+    write_pages(str(pages), 30, num_files=2)
+    outs = {}
+    for name, extra in {
+        "default": [],
+        "lenient": ["--extractor-arg", "keep_thresh=0.2",
+                    "--extractor-arg", "min_chars=10"],
+    }.items():
+        out = tmp_path / f"out_{name}"
+        r = _run_cli(["--input", str(pages), "--output", str(out),
+                      "--num-waves", "1", *extra])
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[name] = json.loads(r.stdout[r.stdout.index("{"):])["totals"]["blocks_kept"]
+    assert outs["lenient"] > outs["default"]

@@ -131,3 +131,32 @@ def test_manifest_contents(pages_dir, tmp_path):
     parts = {p["part"] for p in man["per_part"]}
     assert parts and parts <= set(range(8))
     assert sum(p["rows"] for p in man["per_part"]) == man["totals"]["rows"]
+
+
+def test_giant_threshold_routing(pages_dir, tmp_path):
+    """Skew mitigation: routing giant html rows to a batch_size=1 sibling
+    stage changes scheduling only — output bytes and per-part rollups are
+    identical, and the fixture mix (5% giant ≥2 MB rows) exercises both
+    branches."""
+    base = _extract_hashes(pages_dir, str(tmp_path / "g0"),
+                           num_waves=1, num_parts=8)
+    routed = _extract_hashes(pages_dir, str(tmp_path / "g1"),
+                             num_waves=1, num_parts=8,
+                             giant_threshold=1_000_000)
+    assert routed == base
+    m0 = json.load(open(os.path.join(str(tmp_path / "g0"), "manifest", "wave_0.json")))
+    m1 = json.load(open(os.path.join(str(tmp_path / "g1"), "manifest", "wave_0.json")))
+    assert m0["rollup_digest"] == m1["rollup_digest"]
+
+
+def test_force_parse_reextracts_native_rows(pages_dir, tmp_path):
+    """force_parse (reference force_ocr analog): rows with both a text
+    layer and an html payload take the parsed branch instead."""
+    from occular_ocr_ray.pipelines.flagship import read_extracted, run_extraction
+
+    out = str(tmp_path / "fp")
+    run_extraction(pages_dir, out, num_waves=1, force_parse=True)
+    methods = set()
+    for b in read_extracted(out, columns=["method"]).iter_batches(batch_format="pyarrow"):
+        methods.update(b["method"].to_pylist())
+    assert "native" not in methods and "parsed" in methods
