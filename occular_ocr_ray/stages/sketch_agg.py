@@ -29,17 +29,22 @@ def approx_distinct(
     ≈ 1.04/sqrt(2^b) (~1.6% at b=12)."""
 
     def batch_sketches(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "k": batch[key_col].to_pylist(),
-                "v": batch[value_col].to_pylist(),
-            }
-        )
+        # group-by-key via one Arrow sort + run-boundary scan (no pandas
+        # frame build per batch); values convert to Python once, as the
+        # HLL hash consumes Python objects anyway
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(batch[key_col])
+        k_np = batch[key_col].take(idx).to_numpy(zero_copy_only=False)
+        vals = batch[value_col].take(idx).to_pylist()
+        bounds = [0, *(np.flatnonzero(k_np[1:] != k_np[:-1]) + 1), len(k_np)]
         keys, blobs = [], []
-        for k, g in df.groupby("k", sort=True):
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if s == e:
+                continue
             reg = sk.hll_create(b)
-            sk.hll_add(reg, g["v"].tolist())
-            keys.append(k)
+            sk.hll_add(reg, vals[s:e])
+            keys.append(k_np[s])
             blobs.append(reg.tobytes())
         return pa.table(
             {
