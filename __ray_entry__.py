@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents / text scalar fns (SURVEY.md §2.7)
         "docs_lang_stats": R.docs_lang_stats,
         "token_counts": R.token_counts,
+        "doc_chunks": R.doc_chunks,
         "doc_fingerprints": R.doc_fingerprints,
         "dedup_exact": R.dedup_exact,
         # embeddings / similarity
@@ -367,8 +368,25 @@ def oracle_sql() -> dict[str, str]:
                 "media_decode": "media_id",
                 "extract_pages": "url",
                 "corpus_pipeline": "url",
+                "approx_distinct_users": "event_type",
             }.items()
         },
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), n AS (
+              SELECT doc_id, toks,
+                     1 + CAST(ceil(greatest(len(toks) - 64, 0) / 48.0) AS BIGINT) AS n_chunks
+              FROM t WHERE len(toks) > 0
+            )
+            SELECT doc_id, i AS chunk_index,
+                   array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text,
+                   len(toks[i*48 + 1 : i*48 + 64]) AS n_tokens
+            FROM n, unnest(generate_series(0, n_chunks - 1)) AS u(i)
+            ORDER BY doc_id, chunk_index
+        """,
         "langid_predictions": _langid_sql_select() + """
             SELECT doc_id, lang, pred_lang FROM pred ORDER BY doc_id
         """,

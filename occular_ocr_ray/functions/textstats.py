@@ -114,3 +114,26 @@ def rolling_fingerprint(text: str, window: int = 64) -> int:
         if h < best:
             best = h
     return best
+
+
+def chunk_token_windows(
+    text: str | None, max_tokens: int = 128, stride: int = 96
+) -> list[tuple[int, str]]:
+    """Context-window chunking — the trainer-feeding shape: overlapping
+    windows of ``max_tokens`` whitespace tokens advancing by ``stride``
+    (stride < max_tokens ⇒ max_tokens−stride tokens of overlap).  The
+    final window is emitted short rather than padded; empty/None text
+    yields no chunks.  Deterministic; chunk identity is (doc, index)."""
+    if not 1 <= stride <= max_tokens:
+        raise ValueError("require 1 <= stride <= max_tokens")
+    toks = (text or "").split()
+    if not toks:
+        return []
+    out = []
+    i = 0
+    while True:
+        s = i * stride
+        out.append((i, " ".join(toks[s : s + max_tokens])))
+        if s + max_tokens >= len(toks):
+            return out
+        i += 1

@@ -346,6 +346,21 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
     return out.sort("doc_id").to_pandas()
 
 
+def doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Context-window chunking (64-token windows, stride 48) over the
+    documents table — the trainer-feeding flat-map; DuckDB-oracled via
+    list slicing (validated exact at sf0.001 and sf0.01)."""
+    from ..stages.text_analysis import chunk_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, max_tokens=64, stride=48)
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "chunk_index"])
+        .reset_index(drop=True)
+    )
+
+
 def langid_predictions(sf_dir: str) -> pd.DataFrame:
     from ..stages.text_analysis import analyze_documents
 

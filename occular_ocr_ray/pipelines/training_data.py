@@ -61,6 +61,7 @@ def build_corpus(
     neardup_threshold: float = 0.8,
     batch_size: int = 32,
     checkpoint_dir: str | None = None,
+    drop_strategy: str = "broadcast",
 ) -> tuple[rd.Dataset, dict]:
     """pages (url, html, text) → (corpus Dataset, funnel metrics).
 
@@ -140,9 +141,22 @@ def build_corpus(
         text_col="extracted_text",
         threshold=neardup_threshold,
     )
-    drop_df = neardup_drop_ids(pairs, strategy="driver")
-    drop_ref = ray.put(drop_df["id"].to_numpy(dtype="int64"))
-    corpus = exact_kept.map_batches(_drop_ids_fn(drop_ref), batch_format="pyarrow")
+    if drop_strategy == "anti_join":
+        # dup-heavy regime: the drop-set itself may outgrow a broadcast —
+        # distributed CC labels → bucketed anti-join; nothing corpus- or
+        # drop-set-sized touches the driver.
+        from ..stages.dedup import anti_join_ids, neardup_drop_ids_dataset
+
+        drop_ds = neardup_drop_ids_dataset(pairs)
+        corpus = (
+            exact_kept
+            if drop_ds is None
+            else anti_join_ids(exact_kept, drop_ds, id_col="row_id")
+        )
+    else:
+        drop_df = neardup_drop_ids(pairs, strategy="driver")
+        drop_ref = ray.put(drop_df["id"].to_numpy(dtype="int64"))
+        corpus = exact_kept.map_batches(_drop_ids_fn(drop_ref), batch_format="pyarrow")
     corpus = corpus.select_columns(
         ["url", "extracted_text", "n_tokens", "pred_lang", "quality"]
     )

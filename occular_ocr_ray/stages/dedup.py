@@ -270,6 +270,40 @@ def ngram_jaccard_pairs(
     return _dedupe_pairs(pairs)
 
 
+def neardup_drop_ids_dataset(pairs_ds):
+    """Fully Dataset-shaped drop-set: pair Dataset → connected-component
+    labels (stages/cc.py) → ids where id ≠ label (non-representative
+    cluster members).  Never collected — compose with ``anti_join_ids``
+    for corpora where even the drop-set outgrows a driver broadcast.
+    Returns None when there are no pairs (nothing to drop)."""
+    from .cc import connected_component_labels
+
+    pairs_m = normalize_pairs(pairs_ds).materialize()  # pair rows ≪ corpus
+    if pairs_m.count() == 0:
+        return None
+
+    def flat(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()]
+                )
+            }
+        )
+
+    nodes = (
+        pairs_m.map_batches(flat, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["id"])
+    )
+    labels = connected_component_labels(nodes, pairs_m, id_col="id")
+    return labels.map_batches(
+        lambda b: b.filter(pc.not_equal(b["id"], b["label"])).select(["id"]),
+        batch_format="pyarrow",
+    )
+
+
 def neardup_drop_ids(pairs_ds, *, strategy: str = "driver") -> pd.DataFrame:
     """Cluster a near-dup pair Dataset (from ANY pair family above) and
     return the ids to DROP — every cluster member except the min-id
@@ -286,32 +320,10 @@ def neardup_drop_ids(pairs_ds, *, strategy: str = "driver") -> pd.DataFrame:
     the labels against the corpus with ``stages.joins.bucketed_hash_join``
     instead of collecting — same labels Dataset feeds both.)"""
     if strategy == "distributed":
-        from .cc import connected_component_labels
-
-        pairs_m = normalize_pairs(pairs_ds).materialize()  # pair rows ≪ corpus
-        if pairs_m.count() == 0:
+        drop_ds = neardup_drop_ids_dataset(pairs_ds)
+        if drop_ds is None:
             return pd.DataFrame({"id": pd.Series(dtype="int64")})
-
-        def flat(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "id": pa.concat_arrays(
-                        [b["id_a"].combine_chunks(), b["id_b"].combine_chunks()]
-                    )
-                }
-            )
-
-        nodes = (
-            pairs_m.map_batches(flat, batch_format="pyarrow")
-            .groupby("id")
-            .aggregate(Count(alias_name="n"))
-            .select_columns(["id"])
-        )
-        labels = connected_component_labels(nodes, pairs_m, id_col="id")
-        drop = labels.map_batches(
-            lambda b: b.filter(pc.not_equal(b["id"], b["label"])).select(["id"]),
-            batch_format="pyarrow",
-        ).to_pandas()
+        drop = drop_ds.to_pandas()
         return drop.sort_values("id").reset_index(drop=True)
 
     pairs = pairs_ds.to_pandas()
@@ -332,6 +344,55 @@ def neardup_drop_ids(pairs_ds, *, strategy: str = "driver") -> pd.DataFrame:
             parent[hi] = lo
     drop = sorted(x for x in parent if find(x) != x)
     return pd.DataFrame({"id": pd.Series(drop, dtype="int64")})
+
+
+def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None = None):
+    """Distributed anti-semi-join: remove from ``ds`` every row whose
+    ``id_col`` appears in ``drop_ds`` (a Dataset with one ``id_col``
+    column) — NOTHING is collected or broadcast.  This is the dedup path
+    for dup-heavy corpora where even the drop-set outgrows a broadcast:
+    both sides bucket by id hash (the only shuffle), and each bucket
+    filters its corpus rows against its bucket-local drop ids.
+
+    The common case (drop-set ≪ corpus) should prefer the broadcast
+    filter in ``pipelines/training_data.py`` — one ``ray.put`` beats a
+    corpus-wide shuffle."""
+    from .joins import _arrow_schema, _default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = _default_num_buckets()
+    schema = _arrow_schema(ds)
+    out_names = list(schema.names)
+
+    def tag(side: str, pad_schema):
+        def f(b: pa.Table) -> pa.Table:
+            if side == "r":
+                t = pa.table({id_col: b[id_col].cast(pa.int64())})
+                for n in pad_schema.names:
+                    if n != id_col:
+                        t = t.append_column(n, pa.nulls(t.num_rows, pad_schema.field(n).type))
+                b = t.select(pad_schema.names)
+            keys = b[id_col].to_numpy(zero_copy_only=False)
+            b = b.append_column(
+                "__bucket", pa.array((np.abs(keys) % num_buckets).astype(np.int32))
+            )
+            return b.append_column("__side", pa.array([side] * b.num_rows, pa.string()))
+
+        return f
+
+    tagged = ds.map_batches(tag("l", schema), batch_format="pyarrow").union(
+        drop_ds.map_batches(tag("r", schema), batch_format="pyarrow")
+    )
+
+    def anti(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["__side"], "l")
+        lg = g.filter(lmask).select(out_names)
+        drop_ids = g.filter(pc.invert(lmask))[id_col]
+        if drop_ids.length() == 0:
+            return lg
+        return lg.filter(pc.invert(pc.is_in(lg[id_col], value_set=drop_ids.combine_chunks())))
+
+    return tagged.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
 
 
 def minhash_dedup_keep_ids(

@@ -30,7 +30,8 @@ class TextStats:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        # total over null text (documents/pages allow it): null → ''
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
         tok, bpe, lang, qual, md5s, roll = self._fns
         batch = batch.append_column("n_tokens", pa.array([tok(t) for t in texts], pa.int64()))
         batch = batch.append_column("n_bpe_tokens", pa.array([bpe(t) for t in texts], pa.int64()))
@@ -55,3 +56,45 @@ def analyze_documents(ds, text_col: str = "text", concurrency=None, batch_size: 
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class TokenChunker:
+    """Flat-map stage: documents → overlapping token-window chunks
+    (doc_id, chunk_index, chunk_text, n_tokens) — one batch in, a longer
+    batch out, embarrassingly parallel; chunk ids are deterministic so
+    the op is resumable/idempotent like every other map stage."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 max_tokens: int = 128, stride: int = 96) -> None:
+        self.id_col, self.text_col = id_col, text_col
+        self.max_tokens, self.stride = max_tokens, stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_id, out_ix, out_text = [], [], []
+        for did, t in zip(ids, texts):
+            for ix, chunk in ts.chunk_token_windows(t, self.max_tokens, self.stride):
+                out_id.append(did)
+                out_ix.append(ix)
+                out_text.append(chunk)
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.int64()),
+            "chunk_index": pa.array(out_ix, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array([len(c.split()) for c in out_text], pa.int64()),
+        })
+
+
+def chunk_documents(ds, id_col: str = "doc_id", text_col: str = "text", *,
+                    max_tokens: int = 128, stride: int = 96,
+                    concurrency=None, batch_size: int = 512):
+    """documents Dataset → chunk Dataset (trainer context windows)."""
+    kwargs = dict(id_col=id_col, text_col=text_col,
+                  max_tokens=max_tokens, stride=stride)
+    if concurrency is None:
+        return ds.map_batches(TokenChunker(**kwargs), batch_format="pyarrow",
+                              batch_size=batch_size)
+    return ds.map_batches(TokenChunker, fn_constructor_kwargs=kwargs,
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency, num_cpus=1)

@@ -42,6 +42,10 @@ PINNED = [
     "media_decode",
     "extract_pages",
     "corpus_pipeline",
+    # HLL is hash-deterministic and its register-max merge is
+    # partition-invariant, so the approximate result is exactly
+    # reproducible and safe to pin (pytest bounds its error vs exact).
+    "approx_distinct_users",
 ]
 
 

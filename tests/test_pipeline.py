@@ -160,3 +160,36 @@ def test_force_parse_reextracts_native_rows(pages_dir, tmp_path):
     for b in read_extracted(out, columns=["method"]).iter_batches(batch_format="pyarrow"):
         methods.update(b["method"].to_pylist())
     assert "native" not in methods and "parsed" in methods
+
+
+def test_wave_sink_retry_idempotent(tmp_path):
+    """A retried write task (same task_idx) overwrites its own files and
+    contributes exactly one write return — no duplicate rows, no double
+    counting (the exactly-once property the manifest rollup relies on)."""
+    from types import SimpleNamespace
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines.flagship import _WaveSink
+
+    sink = _WaveSink(str(tmp_path / "wave"))
+    sink.on_write_start()
+    block = pa.table({
+        "url": ["https://a.example/1", "https://b.example/2"],
+        "extracted_text": ["x", "y"],
+        "n_blocks_kept": pa.array([3, 4], pa.int64()),
+        "n_blocks_dropped": pa.array([1, 0], pa.int64()),
+        "bytes_emitted": pa.array([10, 20], pa.int64()),
+        "part": pa.array([0, 1], pa.int32()),
+    })
+    ctx = SimpleNamespace(task_idx=7)
+    first = sink.write([block], ctx)
+    second = sink.write([block], ctx)  # simulated retry of the same task
+    assert first == second
+    files = list((tmp_path / "wave").glob("*.parquet"))
+    assert len(files) == 1  # retry overwrote, not duplicated
+    assert pq.read_table(files[0]).num_rows == 2
+    # exactly one return per successful task reaches the rollup
+    sink.on_write_complete(SimpleNamespace(write_returns=[second]))
+    assert sink.acc == {0: [3, 1, 10, 1], 1: [4, 0, 20, 1]}

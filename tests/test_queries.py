@@ -55,8 +55,14 @@ def test_oracle_keys_subset_of_queries():
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_oracle_parity(name, con, sf_dir):
+    sql = entrymod.oracle_sql()[name]
+    if "tests/expected/sf0.01" in sql:
+        # pinned-output oracle: the committed parquet is the sf0.01
+        # artifact (the driver's correctness tier), so the parity check
+        # must run the query at sf0.01 too
+        sf_dir = "/root/testdata/sf0.01"
     ray_df = _normalize(_to_pandas(entrymod.queries()[name](sf_dir)))
-    sql_df = _normalize(con.execute(entrymod.oracle_sql()[name]).fetchdf())
+    sql_df = _normalize(con.execute(sql).fetchdf())
     assert list(ray_df.columns) == list(sql_df.columns), f"{name}: column mismatch"
     assert len(ray_df) == len(sql_df), f"{name}: row count {len(ray_df)} vs {len(sql_df)}"
     pd.testing.assert_frame_equal(

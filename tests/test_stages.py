@@ -355,3 +355,57 @@ def test_neardup_drop_ids_empty_pairs():
     )
     assert neardup_drop_ids(pairs, strategy="driver").empty
     assert neardup_drop_ids(pairs, strategy="distributed").empty
+
+
+def test_anti_join_ids_matches_broadcast_filter():
+    """Distributed anti-semi-join drops exactly the drop-set rows,
+    including ids ≥ 2^53, matching a driver-side filter."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.dedup import anti_join_ids
+
+    big = (1 << 62) - 3
+    ids = [big, big - 1, 1, 2, 3, 4, 5]
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([f"p{i}" for i in range(len(ids))], pa.string()),
+    }))
+    drop = rd.from_arrow(pa.table({"doc_id": pa.array([big - 1, 2, 5], pa.int64())}))
+    out = anti_join_ids(corpus, drop, id_col="doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == sorted([big, 1, 3, 4])
+    assert set(out.columns) == {"doc_id", "payload"}
+    # empty drop side → passthrough
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    out2 = anti_join_ids(corpus, empty, id_col="doc_id").to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(ids)
+
+
+def test_chunk_token_windows_kernel():
+    from occular_ocr_ray.functions.textstats import chunk_token_windows
+
+    assert chunk_token_windows("") == [] and chunk_token_windows(None) == []
+    toks = " ".join(f"w{i}" for i in range(200))
+    ch = chunk_token_windows(toks, 64, 48)
+    # full coverage, deterministic indices, overlap = max_tokens - stride
+    assert [ix for ix, _ in ch] == list(range(len(ch)))
+    covered = []
+    for _, c in ch:
+        covered.extend(c.split())
+    assert set(covered) == set(toks.split())
+    assert ch[0][1].split()[48:] == ch[1][1].split()[:16]  # 16-token overlap
+    # exact-fit boundary: window reaching the end stops the loop
+    assert len(chunk_token_windows(" ".join(["x"] * 112), 64, 48)) == 2
+    with pytest.raises(ValueError):
+        chunk_token_windows("a b", 4, 9)
+
+
+def test_chunk_documents_stage():
+    from occular_ocr_ray.stages.text_analysis import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(100))), (2, "short doc"), (3, None)]
+    out = chunk_documents(_docs_ds(rows), max_tokens=64, stride=48).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_index"]).reset_index(drop=True)
+    assert out[out["doc_id"] == 1].shape[0] == 2
+    assert out[out["doc_id"] == 2].shape[0] == 1
+    assert 3 not in set(out["doc_id"])  # null text → no chunks
+    assert out["n_tokens"].tolist() == [64, 52, 2]

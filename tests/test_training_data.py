@@ -41,3 +41,27 @@ def test_corpus_query_deterministic():
     assert a.equals(b)
     funnel_rows = a[a["url"].str.startswith("__funnel::")]
     assert len(funnel_rows) == 4
+
+
+def test_corpus_anti_join_strategy_matches_broadcast(ray_session, tmp_path):
+    """drop_strategy='anti_join' (distributed CC + bucketed anti-join)
+    must produce the identical corpus to the broadcast drop filter."""
+    import ray.data as rd
+
+    from occular_ocr_ray.pipelines.training_data import build_corpus
+    from occular_ocr_ray.sources.pages import write_pages
+
+    pages_dir = tmp_path / "pages"
+    write_pages(str(pages_dir), 120, seed=42, num_files=4)
+    outs = {}
+    for strat in ("broadcast", "anti_join"):
+        pages = rd.read_parquet(str(pages_dir), columns=["url", "html", "text"])
+        corpus, funnel = build_corpus(
+            pages, checkpoint_dir=str(tmp_path / f"ckpt_{strat}"),
+            drop_strategy=strat,
+        )
+        df = corpus.to_pandas().sort_values("url").reset_index(drop=True)
+        outs[strat] = (df, funnel)
+    a, b = outs["broadcast"], outs["anti_join"]
+    assert a[1] == b[1]
+    assert a[0].equals(b[0])
