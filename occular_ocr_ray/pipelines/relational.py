@@ -146,9 +146,12 @@ def orders_join_priority(sf_dir: str) -> pd.DataFrame:
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     from ..stages.util import cluster_cpus
 
-    # join parallelism tracks the cluster (a fixed partition count caps
-    # a large cluster's join throughput)
-    joined = li.join(orders, "inner", num_partitions=max(8, cluster_cpus()),
+    # join parallelism scales with data, capped by the cluster: a fixed
+    # count caps a big cluster's throughput, while cores-many partitions
+    # over small inputs is pure shuffle-actor overhead.  ~50k rows per
+    # partition; row count comes from parquet metadata (no scan).
+    nparts = max(8, min(cluster_cpus(), li.count() // 50_000 + 1))
+    joined = li.join(orders, "inner", num_partitions=nparts,
                      on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
