@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": R.approx_distinct_users,
         "user_sessions": R.user_sessions,
         "asof_prior_view": R.asof_prior_view,
+        "views_near_clicks": R.views_near_clicks,
         "events_union": R.events_union,
         "sample_hash": R.sample_hash,
         # documents / text scalar fns (SURVEY.md §2.7)
@@ -290,6 +291,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') e
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON e.user_id = v.user_id AND v.ts < e.ts
+            ORDER BY e.event_id
+        """,
+        "views_near_clicks": """
+            SELECT e.event_id, CAST(count(v.event_id) AS BIGINT) AS n_views_15m
+            FROM (SELECT * FROM events WHERE event_type = 'click') e
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON v.user_id = e.user_id
+             AND v.ts >= e.ts - INTERVAL 15 MINUTE
+             AND v.ts <  e.ts
+            GROUP BY e.event_id
             ORDER BY e.event_id
         """,
         "events_union": """

@@ -479,6 +479,36 @@ def asof_prior_view(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def views_near_clicks(sf_dir: str) -> pd.DataFrame:
+    """Interval (range) join — the second custom join Ray Data lacks
+    natively: for every 'click' event, the count of same-user 'view'
+    events in the window [ts−15min, ts).  Same partitioning contract as
+    the as-of join (one user's events co-group; salt hot users if a
+    single user outgrows a group); inside the group both sides sort once
+    and the window is resolved by binary search (np.searchsorted), so a
+    group costs O(n log n), never O(n²).  Oracle: DuckDB range join."""
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        clicks = g[g["event_type"] == "click"]
+        if clicks.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series(dtype="int64"),
+                 "n_views_15m": pd.Series(dtype="int64")}
+            )
+        views = np.sort(g.loc[g["event_type"] == "view", "ts"].to_numpy())
+        cts = clicks["ts"].to_numpy()
+        lo = np.searchsorted(views, cts - np.timedelta64(15 * 60, "s"), side="left")
+        hi = np.searchsorted(views, cts, side="left")  # strict ts < click.ts
+        return pd.DataFrame(
+            {"event_id": clicks["event_id"].astype("int64").to_numpy(),
+             "n_views_15m": (hi - lo).astype("int64")}
+        )
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def sample_hash(sf_dir: str) -> pd.DataFrame:
     """Deterministic hash-based sampling (~3/16 of rows): keep rows whose
     md5(doc_id) starts with hex 0-2.  Unlike seeded random_sample this is
