@@ -60,7 +60,6 @@ from ..stages.extractor import url_host_part  # noqa: F401  (re-export; part key
 from ..state.registry import get_extractor
 from ..stages import extractor as _extractor_mod  # noqa: F401  (registers "density")
 
-DEFAULT_NUM_PARTS = 64
 _METRIC_COLS = ("n_blocks_kept", "n_blocks_dropped", "bytes_emitted")
 
 

@@ -193,3 +193,26 @@ def test_wave_sink_retry_idempotent(tmp_path):
     # exactly one return per successful task reaches the rollup
     sink.on_write_complete(SimpleNamespace(write_returns=[second]))
     assert sink.acc == {0: [3, 1, 10, 1], 1: [4, 0, 20, 1]}
+
+
+def test_hive_partition_layout(pages_dir, tmp_path):
+    """Opt-in hive layout: part=<k> directories, same totals and rollup
+    digest as the flat layout (partitioning is layout-only)."""
+    from occular_ocr_ray.pipelines.flagship import run_extraction
+
+    flat = str(tmp_path / "flat")
+    hive = str(tmp_path / "hive")
+    s1 = run_extraction(pages_dir, flat, num_waves=1, num_parts=4)
+    s2 = run_extraction(pages_dir, hive, num_waves=1, num_parts=4,
+                        hive_partition=True)
+    assert s1["totals"] == s2["totals"]
+    part_dirs = sorted(p.name for p in (tmp_path / "hive" / "data" / "wave=0").iterdir())
+    assert part_dirs and all(p.startswith("part=") for p in part_dirs)
+    m1 = json.load(open(os.path.join(flat, "manifest", "wave_0.json")))
+    m2 = json.load(open(os.path.join(hive, "manifest", "wave_0.json")))
+    assert m1["rollup_digest"] == m2["rollup_digest"]
+    import duckdb
+
+    n_flat = duckdb.sql(f"select count(*) from read_parquet('{flat}/data/*/*.parquet')").fetchone()[0]
+    n_hive = duckdb.sql(f"select count(*) from read_parquet('{hive}/data/*/*/*.parquet')").fetchone()[0]
+    assert n_flat == n_hive == s1["totals"]["rows"]

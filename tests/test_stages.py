@@ -409,3 +409,27 @@ def test_chunk_documents_stage():
     assert out[out["doc_id"] == 2].shape[0] == 1
     assert 3 not in set(out["doc_id"])  # null text → no chunks
     assert out["n_tokens"].tolist() == [64, 52, 2]
+
+
+def test_salted_groupby_sum_matches_unsalted():
+    """Hot-key salting: a 90%-skewed key aggregates to exactly the same
+    sums as the direct groupby (associative merge), while the first
+    reduce phase fans the hot key across num_salts sub-groups."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from occular_ocr_ray.stages.salting import salted_groupby_sum
+
+    n = 5000
+    keys = ["hot"] * (n * 9 // 10) + [f"k{i % 7}" for i in range(n // 10)]
+    vals = list(range(len(keys)))
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys), "v": pa.array(vals, pa.int64())}))
+    salted = (
+        salted_groupby_sum(ds, ["k"], ["v"], num_salts=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    direct = (
+        ds.groupby("k").aggregate(Sum("v", alias_name="v"))
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(salted, direct, check_dtype=False)
