@@ -44,7 +44,7 @@ def _is_boiler_path(tag_path: str) -> bool:
     return hit
 
 
-@dataclass
+@dataclass(slots=True)
 class ScoredBlock:
     text: str        # normalized block text
     tag_path: str

@@ -42,7 +42,7 @@ VOID_TAGS = frozenset(
 )
 
 
-@dataclass
+@dataclass(slots=True)
 class RawBlock:
     """One candidate block: raw (pre-normalization) text plus the
     provenance/scoring signals.  Analog of a detected contour before
