@@ -216,3 +216,15 @@ def test_hive_partition_layout(pages_dir, tmp_path):
     n_flat = duckdb.sql(f"select count(*) from read_parquet('{flat}/data/*/*.parquet')").fetchone()[0]
     n_hive = duckdb.sql(f"select count(*) from read_parquet('{hive}/data/*/*/*.parquet')").fetchone()[0]
     assert n_flat == n_hive == s1["totals"]["rows"]
+
+
+def test_giant_threshold_with_actor_pool(pages_dir, tmp_path):
+    """Actor-pool small branch + stateless giant branch coexist (the
+    giant branch must not double the pool's CPU reservation): outputs
+    identical to the plain actor-pool run."""
+    a = _extract_hashes(pages_dir, str(tmp_path / "ap"), num_waves=1,
+                        batch_size=16, concurrency=2)
+    b = _extract_hashes(pages_dir, str(tmp_path / "ag"), num_waves=1,
+                        batch_size=16, concurrency=2,
+                        giant_threshold=1_000_000)
+    assert a == b

@@ -4,6 +4,7 @@ pin the kernel invariants over arbitrary inputs."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -57,3 +58,35 @@ def test_extract_row_total_and_invariant(html, text):
         prev_end = s["end"]
     # determinism: same row → same bytes
     assert extract_row("u", html, text) == out
+
+
+@given(
+    st.text(alphabet=" abcdef\n\t", max_size=800),
+    st.integers(min_value=1, max_value=32),
+    st.integers(min_value=1, max_value=32),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_token_windows_invariants(text, max_tokens, stride):
+    """Chunking invariants for arbitrary text/params: every token
+    covered exactly under the stride arithmetic, indices dense from 0,
+    window bounds respected, determinism."""
+    from occular_ocr_ray.functions.textstats import chunk_token_windows
+
+    if stride > max_tokens:
+        with pytest.raises(ValueError):
+            chunk_token_windows(text, max_tokens, stride)
+        return
+    chunks = chunk_token_windows(text, max_tokens, stride)
+    toks = text.split()
+    if not toks:
+        assert chunks == []
+        return
+    assert [ix for ix, _ in chunks] == list(range(len(chunks)))
+    rebuilt = []
+    for ix, c in chunks:
+        ctoks = c.split()
+        assert 1 <= len(ctoks) <= max_tokens
+        assert ctoks == toks[ix * stride: ix * stride + max_tokens]
+        rebuilt.extend(ctoks if ix == 0 else ctoks[max_tokens - stride:])
+    assert rebuilt == toks  # stride overlap reconstructs exactly
+    assert chunk_token_windows(text, max_tokens, stride) == chunks
