@@ -19,10 +19,12 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 from __future__ import annotations
 
 import html as _html
+import os as _os
 from collections.abc import Callable
 from typing import Any
 
 SF0001 = "/root/testdata/sf0.001"
+_REPO = _os.path.dirname(_os.path.abspath(__file__))
 
 
 def entry() -> Any:
@@ -369,7 +371,7 @@ def oracle_sql() -> dict[str, str]:
         # hash check.  Semantic verification lives in pytest (goldens,
         # recall-vs-exact, cross-strategy equality).
         **{
-            name: f"SELECT * FROM read_parquet('/root/repo/tests/expected/sf0.01/{name}.parquet') ORDER BY {order}"
+            name: f"SELECT * FROM read_parquet('{_REPO}/tests/expected/sf0.01/{name}.parquet') ORDER BY {order}"
             for name, order in {
                 "minhash_pairs": "id_a, id_b",
                 "simhash_pairs": "id_a, id_b",

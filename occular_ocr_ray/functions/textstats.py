@@ -118,12 +118,14 @@ def rolling_fingerprint(text: str, window: int = 64) -> int:
 
 def chunk_token_windows(
     text: str | None, max_tokens: int = 128, stride: int = 96
-) -> list[tuple[int, str]]:
+) -> list[tuple[int, str, int]]:
     """Context-window chunking — the trainer-feeding shape: overlapping
     windows of ``max_tokens`` whitespace tokens advancing by ``stride``
     (stride < max_tokens ⇒ max_tokens−stride tokens of overlap).  The
     final window is emitted short rather than padded; empty/None text
-    yields no chunks.  Deterministic; chunk identity is (doc, index)."""
+    yields no chunks.  Returns (index, chunk_text, n_tokens) — the token
+    count comes from the slice bounds, so consumers never re-tokenize.
+    Deterministic; chunk identity is (doc, index)."""
     if not 1 <= stride <= max_tokens:
         raise ValueError("require 1 <= stride <= max_tokens")
     toks = (text or "").split()
@@ -133,7 +135,8 @@ def chunk_token_windows(
     i = 0
     while True:
         s = i * stride
-        out.append((i, " ".join(toks[s : s + max_tokens])))
+        window = toks[s : s + max_tokens]
+        out.append((i, " ".join(window), len(window)))
         if s + max_tokens >= len(toks):
             return out
         i += 1

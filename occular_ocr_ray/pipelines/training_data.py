@@ -39,16 +39,33 @@ from ..stages.dedup import minhash_lsh_pairs, neardup_drop_ids
 from ..stages.extractor import DensityExtractor
 from ..stages.text_analysis import TextStats
 
-# per-worker cache: ObjectRef hex → materialized Arrow value-set, so the
-# broadcast drop-set is fetched + converted once per worker, not per batch
+# per-worker cache (size 1): the current run's broadcast drop-set is
+# fetched + converted once per worker, not per batch; a new run's ref
+# evicts the old entry so long-lived Ray workers don't accumulate one
+# pinned array per historical run
 _DROP_SET_CACHE: dict[str, pa.Array] = {}
 
 
 def _checkpoint(ds: rd.Dataset, path: str) -> rd.Dataset:
     """Write a multi-consumer intermediate to parquet and re-read it:
     downstream consumers each stream from disk instead of recomputing
-    lineage or pinning the whole stage output in the object store."""
+    lineage or pinning the whole stage output in the object store.
+
+    Resume-safe: a completed checkpoint (marker present) is reused
+    as-is; anything else (crashed half-write, stale prior run) is wiped
+    first — Ray's write filenames carry a fresh uuid per run, so writing
+    into a non-empty dir would otherwise mix generations and duplicate
+    rows on re-read.  The marker commits only after the write returns
+    (same durability order as the flagship wave manifests)."""
+    import shutil
+
+    marker = path.rstrip("/") + ".done"  # sibling: the data dir must
+    if os.path.exists(marker):           # contain only parquet files
+        return rd.read_parquet(path)
+    shutil.rmtree(path, ignore_errors=True)
     ds.write_parquet(path)
+    with open(marker, "w") as fh:
+        fh.write("ok")
     return rd.read_parquet(path)
 
 
@@ -68,6 +85,11 @@ def build_corpus(
     Returns the corpus as a streaming Dataset of
     (url, extracted_text, n_tokens, pred_lang, quality) plus a funnel
     dict with exact counts at every stage boundary.
+
+    ``checkpoint_dir`` identity must track the input: a COMPLETED
+    checkpoint (its .done marker present) is reused as-is on re-run —
+    that is the resume contract — so feed a fresh dir (or the default
+    per-run dir) when the input changes.
     """
     funnel: dict[str, int] = {}
     funnel["input_rows"] = pages.count()
@@ -141,6 +163,10 @@ def build_corpus(
         text_col="extracted_text",
         threshold=neardup_threshold,
     )
+    if drop_strategy not in ("broadcast", "anti_join"):
+        raise ValueError(
+            f"unknown drop_strategy {drop_strategy!r}; use 'broadcast' or 'anti_join'"
+        )
     if drop_strategy == "anti_join":
         # dup-heavy regime: the drop-set itself may outgrow a broadcast —
         # distributed CC labels → bucketed anti-join; nothing corpus- or
@@ -191,6 +217,7 @@ def _drop_ids_fn(drop_ref):
         arr = _DROP_SET_CACHE.get(key)
         if arr is None:
             arr = pa.array(ray.get(drop_ref), pa.int64())
+            _DROP_SET_CACHE.clear()  # size-1: evict prior runs' sets
             _DROP_SET_CACHE[key] = arr
         return b.filter(pc.invert(pc.is_in(b["row_id"], value_set=arr)))
 

@@ -67,9 +67,9 @@ def exact_dedup_ids(ds, id_col: str = "doc_id", text_col: str = "text"):
 class MinHasher:
     """Actor stage: doc → (band, key, id, signature[, text]) rows.
     Permutation params are module-level constants compiled at import —
-    per-actor state per SURVEY.md §2.3.  Null text hashes as the empty
-    document (total over any pages/documents row, like the extract
-    kernel)."""
+    per-actor state per SURVEY.md §2.3.  Total over null text; null and
+    empty documents emit NO signature rows (near-dup candidates need
+    content — empties collapse under exact dedup instead)."""
 
     def __init__(
         self,
@@ -97,6 +97,15 @@ class MinHasher:
                 if self.char_n
                 else hs.shingles(t, self.shingle_k)
             )
+            if not sh:
+                # contentless doc: no signature rows.  Emitting the
+                # degenerate all-max signature would (a) pair every
+                # empty doc with every other (jaccard(∅,∅)=1) — a
+                # quadratic hot bucket at web scale where empties are
+                # millions — and (b) diverge from the SQL oracle, which
+                # has no grams for them.  Collapsing empties is exact
+                # dedup's job (identical md5), not near-dup's.
+                continue
             sig = hs.minhash_signature(sh, self.n_perm)
             keys = hs.lsh_band_keys(sig, self.n_bands)
             sig_list = sig.astype(np.int64).tolist()  # reinterpret for Arrow
@@ -357,32 +366,19 @@ def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None =
     The common case (drop-set ≪ corpus) should prefer the broadcast
     filter in ``pipelines/training_data.py`` — one ``ray.put`` beats a
     corpus-wide shuffle."""
-    from .joins import _arrow_schema, _default_num_buckets
+    from .joins import _default_num_buckets, _tagged_bucket_union
 
     if num_buckets is None:
         num_buckets = _default_num_buckets()
-    schema = _arrow_schema(ds)
-    out_names = list(schema.names)
-
-    def tag(side: str, pad_schema):
-        def f(b: pa.Table) -> pa.Table:
-            if side == "r":
-                t = pa.table({id_col: b[id_col].cast(pa.int64())})
-                for n in pad_schema.names:
-                    if n != id_col:
-                        t = t.append_column(n, pa.nulls(t.num_rows, pad_schema.field(n).type))
-                b = t.select(pad_schema.names)
-            keys = b[id_col].to_numpy(zero_copy_only=False)
-            b = b.append_column(
-                "__bucket", pa.array((np.abs(keys) % num_buckets).astype(np.int32))
-            )
-            return b.append_column("__side", pa.array([side] * b.num_rows, pa.string()))
-
-        return f
-
-    tagged = ds.map_batches(tag("l", schema), batch_format="pyarrow").union(
-        drop_ds.map_batches(tag("r", schema), batch_format="pyarrow")
+    drop_only = drop_ds.map_batches(
+        lambda b: pa.table({id_col: b[id_col].cast(pa.int64())}),
+        batch_format="pyarrow",
     )
+    tagged, lschema, _ = _tagged_bucket_union(
+        ds, drop_only, id_col, id_col, num_buckets,
+        rschema=pa.schema([(id_col, pa.int64())]),  # drop side is known
+    )
+    out_names = list(lschema.names)
 
     def anti(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g["__side"], "l")
@@ -445,7 +441,10 @@ class SimHasher:
         width = 64 // self.n_bands
         mask = (1 << width) - 1
         for i, t in zip(ids, texts):
-            sh = hs.simhash64(t or "")
+            t = t or ""
+            if not t.split():
+                continue  # contentless doc — same rationale as MinHasher
+            sh = hs.simhash64(t)
             signed = sh - (1 << 64) if sh >= (1 << 63) else sh
             for band in range(self.n_bands):
                 out["band"].append(band)

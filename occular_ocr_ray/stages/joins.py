@@ -40,7 +40,7 @@ def _arrow_schema(ds) -> pa.Schema:
     ``from_pandas``) report numpy dtypes; map them to the Arrow types the
     pyarrow batch format will deliver (object → string — feed
     Arrow-native datasets for exotic object columns)."""
-    s = ds.schema()
+    s = ds.schema(fetch_if_missing=True)
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
@@ -55,23 +55,20 @@ def _arrow_schema(ds) -> pa.Schema:
     return pa.schema(fields)
 
 
-def bucketed_hash_join(
-    left,
-    right,
-    *,
-    left_on: str,
-    right_on: str,
-    num_buckets: int | None = None,
-):
-    """Inner join left ⋈ right on integer keys.  Returns a Dataset with
-    left's columns + right's non-key columns (suffix "_r" on name
-    collisions; the key column is coalesced under ``left_on``)."""
-    if num_buckets is None:
-        num_buckets = _default_num_buckets()
-
-    # union needs one schema: pad each side with null columns of the
-    # other side's fields (metadata-only: pa.nulls keeps declared types)
-    lschema, rschema = _arrow_schema(left), _arrow_schema(right)
+def _tagged_bucket_union(left, right, left_on: str, right_on: str, num_buckets: int,
+                         lschema: pa.Schema | None = None,
+                         rschema: pa.Schema | None = None):
+    """Shared exchange skeleton for the explicit-join family: pad both
+    sides to one combined schema (pa.nulls keeps declared types — never
+    pandas NaN coercion), tag with ``__side``, add ``__bucket`` =
+    |key| % B, and union.  The single groupby("__bucket") a caller runs
+    on the result IS the only shuffle; the caller supplies the
+    per-bucket resolver (inner join, anti filter, ...).
+    Returns (tagged_dataset, lschema, rschema).  Callers that know a
+    side's schema a priori should pass it — inference executes a block
+    and returns None for empty datasets."""
+    lschema = lschema if lschema is not None else _arrow_schema(left)
+    rschema = rschema if rschema is not None else _arrow_schema(right)
     lnames = list(lschema.names)
     rnames = list(rschema.names)
     lset = set(lnames)
@@ -82,16 +79,6 @@ def bucketed_hash_join(
         (n, lschema.field(n).type) for n in lnames if n not in set(rnames)
     ]
     all_names = lnames + [n for n in rnames if n not in lset]
-
-    # output schema, fixed at build time so every bucket (including
-    # empty ones) emits identically-typed blocks
-    out_fields = [(n, lschema.field(n).type) for n in lnames]
-    for n in rnames:
-        if n == right_on:
-            continue  # coalesced into left_on
-        out_name = f"{n}_r" if n in lset else n
-        out_fields.append((out_name, rschema.field(n).type))
-    out_schema = pa.schema(out_fields)
 
     def tag(side: str, key: str, pad):
         def f(batch: pa.Table) -> pa.Table:
@@ -110,6 +97,37 @@ def bucketed_hash_join(
     tagged = left.map_batches(tag("l", left_on, pad_for_left), batch_format="pyarrow").union(
         right.map_batches(tag("r", right_on, pad_for_right), batch_format="pyarrow")
     )
+    return tagged, lschema, rschema
+
+
+def bucketed_hash_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str,
+    num_buckets: int | None = None,
+):
+    """Inner join left ⋈ right on integer keys.  Returns a Dataset with
+    left's columns + right's non-key columns (suffix "_r" on name
+    collisions; the key column is coalesced under ``left_on``)."""
+    if num_buckets is None:
+        num_buckets = _default_num_buckets()
+    tagged, lschema, rschema = _tagged_bucket_union(
+        left, right, left_on, right_on, num_buckets
+    )
+    lnames, rnames = list(lschema.names), list(rschema.names)
+    lset = set(lnames)
+
+    # output schema, fixed at build time so every bucket (including
+    # empty ones) emits identically-typed blocks
+    out_fields = [(n, lschema.field(n).type) for n in lnames]
+    for n in rnames:
+        if n == right_on:
+            continue  # coalesced into left_on
+        out_name = f"{n}_r" if n in lset else n
+        out_fields.append((out_name, rschema.field(n).type))
+    out_schema = pa.schema(out_fields)
 
     def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g["__side"], "l")

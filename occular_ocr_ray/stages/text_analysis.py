@@ -72,17 +72,18 @@ class TokenChunker:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_id, out_ix, out_text = [], [], []
+        out_id, out_ix, out_text, out_n = [], [], [], []
         for did, t in zip(ids, texts):
-            for ix, chunk in ts.chunk_token_windows(t, self.max_tokens, self.stride):
+            for ix, chunk, n in ts.chunk_token_windows(t, self.max_tokens, self.stride):
                 out_id.append(did)
                 out_ix.append(ix)
                 out_text.append(chunk)
+                out_n.append(n)
         return pa.table({
             self.id_col: pa.array(out_id, pa.int64()),
             "chunk_index": pa.array(out_ix, pa.int64()),
             "chunk_text": pa.array(out_text, pa.string()),
-            "n_tokens": pa.array([len(c.split()) for c in out_text], pa.int64()),
+            "n_tokens": pa.array(out_n, pa.int64()),
         })
 
 

@@ -81,10 +81,11 @@ def test_chunk_token_windows_invariants(text, max_tokens, stride):
     if not toks:
         assert chunks == []
         return
-    assert [ix for ix, _ in chunks] == list(range(len(chunks)))
+    assert [c[0] for c in chunks] == list(range(len(chunks)))
     rebuilt = []
-    for ix, c in chunks:
+    for ix, c, n in chunks:
         ctoks = c.split()
+        assert n == len(ctoks)
         assert 1 <= len(ctoks) <= max_tokens
         assert ctoks == toks[ix * stride: ix * stride + max_tokens]
         rebuilt.extend(ctoks if ix == 0 else ctoks[max_tokens - stride:])

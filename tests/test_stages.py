@@ -387,9 +387,10 @@ def test_chunk_token_windows_kernel():
     toks = " ".join(f"w{i}" for i in range(200))
     ch = chunk_token_windows(toks, 64, 48)
     # full coverage, deterministic indices, overlap = max_tokens - stride
-    assert [ix for ix, _ in ch] == list(range(len(ch)))
+    assert [c[0] for c in ch] == list(range(len(ch)))
     covered = []
-    for _, c in ch:
+    for _, c, n in ch:
+        assert n == len(c.split())
         covered.extend(c.split())
     assert set(covered) == set(toks.split())
     assert ch[0][1].split()[48:] == ch[1][1].split()[:16]  # 16-token overlap
@@ -433,3 +434,23 @@ def test_salted_groupby_sum_matches_unsalted():
         .to_pandas().sort_values("k").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(salted, direct, check_dtype=False)
+
+
+def test_empty_docs_never_near_dup_candidates():
+    """Null/empty documents emit no signature rows (no jaccard(∅,∅)=1
+    pair storm, and the SQL oracle agrees); exact dedup still collapses
+    them by identical md5."""
+    from occular_ocr_ray.stages.dedup import (
+        exact_dedup_ids, minhash_lsh_pairs, simhash_pairs,
+    )
+
+    wide = " ".join(f"token{i}" for i in range(80))
+    rows = [(1, ""), (2, None), (3, wide), (4, wide), (5, "   ")]
+    mp = minhash_lsh_pairs(_docs_ds(rows), threshold=0.5).to_pandas()
+    sp = simhash_pairs(_docs_ds(rows), max_hamming=3).to_pandas()
+    for pairs in (mp, sp):
+        touched = set(pairs.get("id_a", [])) | set(pairs.get("id_b", []))
+        assert touched <= {3, 4}
+    assert (3, 4) in set(zip(mp["id_a"], mp["id_b"]))
+    keep = sorted(exact_dedup_ids(_docs_ds([(1, ""), (2, ""), (3, wide)])).to_pandas()["doc_id"])
+    assert keep == [1, 3]  # empties collapse under exact dedup

@@ -65,3 +65,40 @@ def test_corpus_anti_join_strategy_matches_broadcast(ray_session, tmp_path):
     a, b = outs["broadcast"], outs["anti_join"]
     assert a[1] == b[1]
     assert a[0].equals(b[0])
+
+
+def test_corpus_checkpoint_rerun_no_duplicates(ray_session, tmp_path):
+    """Re-running build_corpus with the same checkpoint_dir must reuse
+    the completed checkpoints (marker contract), not mix a second
+    generation of files into them — funnel and corpus identical."""
+    import ray.data as rd
+
+    from occular_ocr_ray.pipelines.training_data import build_corpus
+    from occular_ocr_ray.sources.pages import write_pages
+
+    pages_dir = tmp_path / "pages"
+    write_pages(str(pages_dir), 80, seed=42, num_files=4)
+    results = []
+    for _ in range(2):
+        pages = rd.read_parquet(str(pages_dir), columns=["url", "html", "text"])
+        corpus, funnel = build_corpus(pages, checkpoint_dir=str(tmp_path / "ckpt"))
+        results.append(
+            (corpus.to_pandas().sort_values("url").reset_index(drop=True), funnel)
+        )
+    assert results[0][1] == results[1][1]
+    assert results[0][0].equals(results[1][0])
+
+
+def test_corpus_rejects_unknown_drop_strategy(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+
+    from occular_ocr_ray.pipelines.training_data import build_corpus
+    from occular_ocr_ray.sources.pages import write_pages
+
+    pages_dir = tmp_path / "pages"
+    write_pages(str(pages_dir), 20, seed=42, num_files=1)
+    pages = rd.read_parquet(str(pages_dir), columns=["url", "html", "text"])
+    with pytest.raises(ValueError, match="drop_strategy"):
+        build_corpus(pages, checkpoint_dir=str(tmp_path / "c"),
+                     drop_strategy="anti-join")
