@@ -454,3 +454,26 @@ def test_empty_docs_never_near_dup_candidates():
     assert (3, 4) in set(zip(mp["id_a"], mp["id_b"]))
     keep = sorted(exact_dedup_ids(_docs_ds([(1, ""), (2, ""), (3, wide)])).to_pandas()["doc_id"])
     assert keep == [1, 3]  # empties collapse under exact dedup
+
+
+def test_incremental_dedup_across_runs():
+    """Shared fingerprint index: a second dataset drops content admitted
+    by the first run; totals equal distinct fingerprints; empty/null
+    text collapses to one admission."""
+    import ray.data as rd
+
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    dd = IncrementalDeduper(num_shards=4)
+    try:
+        day1 = _docs_ds([(1, "alpha"), (2, "beta"), (3, "alpha"), (4, None)])
+        out1 = dd.dedup(day1).to_pandas()
+        assert len(out1) == 3  # alpha, beta, "" — one each
+        assert dd.index_size() == 3
+        day2 = _docs_ds([(5, "beta"), (6, "gamma"), (7, ""), (8, "gamma")])
+        out2 = dd.dedup(day2).to_pandas()
+        # beta and "" already admitted on day 1; gamma admitted once
+        assert sorted(out2["doc_id"]) == [6]
+        assert dd.index_size() == 4
+    finally:
+        dd.shutdown()
