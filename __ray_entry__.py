@@ -415,7 +415,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE substr(text, i, 3) END AS gram
               FROM documents,
                    unnest(generate_series(1, greatest(length(text)-2, 1))) AS t(i)
-              WHERE text IS NOT NULL AND text <> ''
+              WHERE text IS NOT NULL AND trim(text) <> ''
             ), sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ix

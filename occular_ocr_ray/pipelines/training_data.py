@@ -26,6 +26,8 @@ friendly) instead of pinning the corpus with ``materialize()``.
 
 from __future__ import annotations
 
+import glob as _glob
+import hashlib as _hashlib
 import os
 import uuid
 
@@ -39,30 +41,37 @@ from ..stages.dedup import minhash_lsh_pairs, neardup_drop_ids
 from ..stages.extractor import DensityExtractor
 from ..stages.text_analysis import TextStats
 
-# per-worker cache (size 1): the current run's broadcast drop-set is
-# fetched + converted once per worker, not per batch; a new run's ref
-# evicts the old entry so long-lived Ray workers don't accumulate one
-# pinned array per historical run
+# per-worker cache (FIFO, max 4): each live run's broadcast drop-set is
+# fetched + converted once per worker, not per batch.  Bounded so
+# long-lived Ray workers don't accumulate one pinned array per
+# historical run; >1 entry so two concurrent pipelines sharing a worker
+# don't evict each other every batch.
 _DROP_SET_CACHE: dict[str, pa.Array] = {}
+_DROP_SET_CACHE_MAX = 4
 
 
-def _checkpoint(ds: rd.Dataset, path: str) -> rd.Dataset:
+def _checkpoint(ds: rd.Dataset, path: str, key: str) -> rd.Dataset:
     """Write a multi-consumer intermediate to parquet and re-read it:
     downstream consumers each stream from disk instead of recomputing
     lineage or pinning the whole stage output in the object store.
 
-    Resume-safe: a completed checkpoint (marker present) is reused
-    as-is; anything else (crashed half-write, stale prior run) is wiped
+    Resume-safe: a completed checkpoint whose marker carries the SAME
+    parameter key is reused as-is; anything else (crashed half-write,
+    stale prior run, a run with different filter parameters) is wiped
     first — Ray's write filenames carry a fresh uuid per run, so writing
     into a non-empty dir would otherwise mix generations and duplicate
-    rows on re-read.  The marker commits only after the write returns
-    (same durability order as the flagship wave manifests)."""
+    rows on re-read, and a parameterless marker would silently serve a
+    checkpoint built under different thresholds.  The marker commits
+    only after the write returns (same durability order as the flagship
+    wave manifests)."""
     import shutil
 
-    marker = path.rstrip("/") + ".done"  # sibling: the data dir must
-    if os.path.exists(marker):           # contain only parquet files
+    marker = f"{path.rstrip('/')}.done.{key}"  # sibling: the data dir
+    if os.path.exists(marker):                 # holds only parquet files
         return rd.read_parquet(path)
     shutil.rmtree(path, ignore_errors=True)
+    for stale in _glob.glob(path.rstrip("/") + ".done.*"):
+        os.remove(stale)
     ds.write_parquet(path)
     with open(marker, "w") as fh:
         fh.write("ok")
@@ -86,11 +95,18 @@ def build_corpus(
     (url, extracted_text, n_tokens, pred_lang, quality) plus a funnel
     dict with exact counts at every stage boundary.
 
-    ``checkpoint_dir`` identity must track the input: a COMPLETED
-    checkpoint (its .done marker present) is reused as-is on re-run —
-    that is the resume contract — so feed a fresh dir (or the default
-    per-run dir) when the input changes.
+    ``checkpoint_dir`` identity must track the INPUT: a completed
+    checkpoint is reused as-is on re-run (the resume contract), and its
+    marker encodes the filter parameters — changed thresholds invalidate
+    it automatically, but a changed input dataset does not, so feed a
+    fresh dir (or the default per-run dir) when the input changes.
     """
+    if drop_strategy not in ("broadcast", "anti_join"):
+        # validate before any execution — a typo must fail in
+        # milliseconds, not after the extract pipeline has run
+        raise ValueError(
+            f"unknown drop_strategy {drop_strategy!r}; use 'broadcast' or 'anti_join'"
+        )
     funnel: dict[str, int] = {}
     funnel["input_rows"] = pages.count()
 
@@ -123,7 +139,10 @@ def build_corpus(
     # the resume point a failed run restarts from.
     if checkpoint_dir is None:
         checkpoint_dir = f"/tmp/occular_corpus_ckpt/{uuid.uuid4().hex[:12]}"
-    filtered = _checkpoint(filtered, os.path.join(checkpoint_dir, "filtered"))
+    params_key = _hashlib.md5(
+        repr((min_quality, min_tokens, tuple(langs), batch_size)).encode()
+    ).hexdigest()[:12]
+    filtered = _checkpoint(filtered, os.path.join(checkpoint_dir, "filtered"), params_key)
     funnel["after_extract_and_quality"] = filtered.count()
 
     # Exact row dedup: THE one corpus shuffle — hash-group rows by
@@ -150,7 +169,7 @@ def build_corpus(
         .groupby("coarse")
         .map_groups(keep_first, batch_format="pandas")
         .map_batches(_with_int_id, batch_format="pyarrow"),
-        os.path.join(checkpoint_dir, "exact_kept"),
+        os.path.join(checkpoint_dir, "exact_kept"), params_key,
     )
     funnel["after_exact_dedup"] = exact_kept.count()
 
@@ -163,10 +182,6 @@ def build_corpus(
         text_col="extracted_text",
         threshold=neardup_threshold,
     )
-    if drop_strategy not in ("broadcast", "anti_join"):
-        raise ValueError(
-            f"unknown drop_strategy {drop_strategy!r}; use 'broadcast' or 'anti_join'"
-        )
     if drop_strategy == "anti_join":
         # dup-heavy regime: the drop-set itself may outgrow a broadcast —
         # distributed CC labels → bucketed anti-join; nothing corpus- or
@@ -217,7 +232,8 @@ def _drop_ids_fn(drop_ref):
         arr = _DROP_SET_CACHE.get(key)
         if arr is None:
             arr = pa.array(ray.get(drop_ref), pa.int64())
-            _DROP_SET_CACHE.clear()  # size-1: evict prior runs' sets
+            while len(_DROP_SET_CACHE) >= _DROP_SET_CACHE_MAX:
+                _DROP_SET_CACHE.pop(next(iter(_DROP_SET_CACHE)))
             _DROP_SET_CACHE[key] = arr
         return b.filter(pc.invert(pc.is_in(b["row_id"], value_set=arr)))
 

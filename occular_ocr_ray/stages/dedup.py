@@ -92,6 +92,11 @@ class MinHasher:
         out_band, out_key, out_id, out_sig, out_text = [], [], [], [], []
         for i, t in zip(ids, texts):
             t = t or ""
+            if not t.split():
+                # contentless (empty/whitespace-only) doc — skip BOTH
+                # paths: char n-grams over runs of spaces would otherwise
+                # still collide all-with-all (see rationale below)
+                continue
             sh = (
                 hs.char_ngrams(t, self.char_n)
                 if self.char_n

@@ -10,21 +10,41 @@ dataset at a time — cross-run state needs an index that outlives the
 pipelines that query it.
 
 Design:
-- The index is N zero-CPU ``_FingerprintShard`` actors, sharded by
-  fingerprint hash — memory and request load scale out with N, and each
-  admission decision is a single-owner operation (no distributed
-  locking).  Per shard the state is a plain ``set`` of 16-byte digests;
-  1 B fingerprints ≈ 16 GB spread over the shard set, far below one
-  node's RAM at N ≥ 16.
-- ``filter_new`` batches run inside ``map_batches``: each batch computes
+- The index is N zero-CPU ``_FingerprintShard`` actors, sharded by the
+  first 8 bytes of the digest mod N (uniform at any N — a single-byte
+  shard key would cap useful shards at 256 and skew the remainder) —
+  memory and request load scale out with N, and each admission decision
+  is a single-owner operation (no distributed locking).  Per shard the
+  state is ``dict[16-byte digest -> admitting batch key]``; at Python
+  object overhead (~60-100 B per entry all-in) 1 B fingerprints is
+  roughly 60-100 GB — size N so each shard holds a few GB (N ≥ 32 for
+  the 1 B-row regime), or swap the dict for an off-heap store behind the
+  same actor interface.
+- ``dedup`` batches run inside ``map_batches``: each batch computes
   md5 map-side, groups digests per shard, and makes ONE call per shard
-  per batch (not per row).  Admission is first-writer-wins.
+  per batch (not per row).  Admission is first-writer-wins and
+  RETRY-IDEMPOTENT: each admission records the admitting batch's
+  content key, so a Ray task retry (same batch content) gets its
+  original True answers back instead of losing the batch's unique rows.
+  (Two *distinct* batches with an identical fingerprint multiset would
+  share a key and both keep their rows — content-identical rows, so
+  dedup quality degrades by at most that one batch, never data loss.)
+- ``dedup`` returns a MATERIALIZED Dataset: the filter is a
+  side-effecting read-modify-write of the index, so a lazy result would
+  re-execute on every consumption and return zero rows the second time.
+  The materialized output is one arriving shard's new rows — bounded,
+  never the historical corpus.
 - Semantics: each distinct fingerprint is admitted exactly once across
-  every dataset ever passed through the same index.  WHICH duplicate row
+  every dataset passed through the same index.  WHICH duplicate row
   survives follows arrival order, so it is deliberately NOT part of the
   deterministic query surface — for deterministic single-corpus dedup
   use ``stages.dedup.exact_dedup_ids`` (min-id winner).  Totals are
   deterministic: survivors across runs = distinct fingerprints seen.
+- ``name=...`` makes the shards detached named actors
+  (``get_if_exists``): a restarted ingest driver re-attaches to the
+  live index instead of silently re-admitting yesterday's content.
+  Anonymous (default) indexes die with the driver — fine for
+  single-session use and tests.
 
 Cited reference behavior: the registry instance cache
 (``registry.py:14-16``) is the reference's "shared state per process";
@@ -43,20 +63,26 @@ class _FingerprintShard:
     """Owner of one hash-range of the fingerprint space."""
 
     def __init__(self) -> None:
-        self.seen: set[bytes] = set()
+        self.seen: dict[bytes, bytes] = {}  # fp -> admitting batch key
 
-    def admit(self, fps: list[bytes]) -> list[bool]:
-        """First-writer-wins: True where fp was NOT seen before this
-        call; duplicates *within* the list keep only their first
-        occurrence (single-owner, so this is atomic per shard)."""
+    def admit(self, fps: list[bytes], batch_key: bytes) -> list[bool]:
+        """First-writer-wins with retry idempotency: True where fp is
+        new, or where THIS batch (same content key) already admitted it
+        — a retried task reproduces its original answers.  Duplicate fps
+        within one call keep only the first occurrence."""
         out = []
+        first_in_call: set[bytes] = set()
         seen = self.seen
         for fp in fps:
-            if fp in seen:
-                out.append(False)
-            else:
-                seen.add(fp)
+            owner = seen.get(fp)
+            if owner is None:
+                seen[fp] = batch_key
                 out.append(True)
+            elif owner == batch_key and fp not in first_in_call:
+                out.append(True)  # retry of the admitting batch
+            else:
+                out.append(False)
+            first_in_call.add(fp)
         return out
 
     def size(self) -> int:
@@ -67,16 +93,32 @@ class IncrementalDeduper:
     """Driver-side handle over the sharded index.
 
     >>> dd = IncrementalDeduper(num_shards=16)
-    >>> first  = dd.dedup(shard_monday)    # Dataset -> Dataset
+    >>> first  = dd.dedup(shard_monday)    # Dataset -> Dataset (materialized)
     >>> second = dd.dedup(shard_tuesday)   # drops Monday's content too
     >>> dd.index_size()                    # distinct fingerprints admitted
+
+    Pass ``name="crawl-2026"`` for a detached index that survives driver
+    restarts (re-attach by constructing with the same name).
     """
 
-    def __init__(self, num_shards: int = 16, text_col: str = "text") -> None:
+    _NAMESPACE = "occular_dedup_index"
+
+    def __init__(self, num_shards: int = 16, text_col: str = "text",
+                 name: str | None = None) -> None:
         self.num_shards = num_shards
         self.text_col = text_col
+        self.name = name
         actor = ray.remote(num_cpus=0)(_FingerprintShard)
-        self.shards = [actor.remote() for _ in range(num_shards)]
+        if name is None:
+            self.shards = [actor.remote() for _ in range(num_shards)]
+        else:
+            self.shards = [
+                actor.options(
+                    name=f"{name}:shard{i}", namespace=self._NAMESPACE,
+                    lifetime="detached", get_if_exists=True,
+                ).remote()
+                for i in range(num_shards)
+            ]
 
     def _filter_fn(self):
         shards, n, text_col = self.shards, self.num_shards, self.text_col
@@ -87,11 +129,16 @@ class IncrementalDeduper:
             # one RPC per shard per batch — group row indices by shard
             by_shard: dict[int, list[int]] = {}
             for i, fp in enumerate(fps):
-                by_shard.setdefault(fp[0] % n, []).append(i)
+                s = int.from_bytes(fp[:8], "little") % n
+                by_shard.setdefault(s, []).append(i)
             keep = [False] * len(fps)
             refs, owners = [], []
             for s, idxs in by_shard.items():
-                refs.append(shards[s].admit.remote([fps[i] for i in idxs]))
+                sub = [fps[i] for i in idxs]
+                # batch identity = content of this shard's sublist →
+                # a task retry presents the same key and is idempotent
+                bkey = hashlib.blake2b(b"".join(sub), digest_size=16).digest()
+                refs.append(shards[s].admit.remote(sub, bkey))
                 owners.append(idxs)
             for idxs, mask in zip(owners, ray.get(refs)):
                 for i, ok in zip(idxs, mask):
@@ -101,9 +148,12 @@ class IncrementalDeduper:
         return f
 
     def dedup(self, ds):
-        """Dataset → Dataset with all previously-admitted content
-        removed (and this dataset's own exact dups collapsed)."""
-        return ds.map_batches(self._filter_fn(), batch_format="pyarrow")
+        """Dataset → MATERIALIZED Dataset with all previously-admitted
+        content removed (and this dataset's own exact dups collapsed).
+        Materialization is mandatory: the filter mutates the index, so a
+        lazy plan would re-execute per consumption and come back empty
+        the second time."""
+        return ds.map_batches(self._filter_fn(), batch_format="pyarrow").materialize()
 
     def index_size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))

@@ -477,3 +477,58 @@ def test_incremental_dedup_across_runs():
         assert dd.index_size() == 4
     finally:
         dd.shutdown()
+
+
+def test_incremental_dedup_reconsumption_and_retry_idempotent():
+    """The returned Dataset is materialized (safe to consume twice), a
+    retried admission (same batch content key) reproduces its original
+    answers, and whitespace-only variants count as distinct exact
+    content (distinct md5)."""
+    import ray
+
+    import ray.data as rd
+
+    from occular_ocr_ray.state.incremental import IncrementalDeduper, _FingerprintShard
+
+    dd = IncrementalDeduper(num_shards=4)
+    try:
+        out = dd.dedup(_docs_ds([(1, "aa"), (2, "bb"), (3, "aa")]))
+        assert out.count() == 2
+        assert len(out.to_pandas()) == 2  # second consumption identical
+    finally:
+        dd.shutdown()
+
+    shard = ray.remote(num_cpus=0)(_FingerprintShard).remote()
+    fps = [b"x" * 16, b"y" * 16, b"x" * 16]
+    first = ray.get(shard.admit.remote(fps, b"batchA"))
+    retry = ray.get(shard.admit.remote(fps, b"batchA"))  # task retry
+    other = ray.get(shard.admit.remote(fps, b"batchB"))
+    assert first == [True, True, False]
+    assert retry == first  # idempotent under retry
+    assert other == [False, False, False]
+    ray.kill(shard)
+
+
+def test_incremental_dedup_named_index_reattach():
+    """A named index is detached: a second handle with the same name
+    attaches to the SAME shards (simulating a restarted ingest driver)."""
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    a = IncrementalDeduper(num_shards=2, name="t-reattach")
+    try:
+        assert a.dedup(_docs_ds([(1, "p"), (2, "q")])).count() == 2
+        b = IncrementalDeduper(num_shards=2, name="t-reattach")
+        assert b.index_size() == 2  # same index, not a fresh one
+        assert b.dedup(_docs_ds([(3, "p"), (4, "r")])).count() == 1
+    finally:
+        a.shutdown()
+
+
+def test_whitespace_only_docs_skip_ngram_path():
+    """Whitespace-only docs emit no char-ngram signatures (they would
+    otherwise all collide on space-run grams)."""
+    from occular_ocr_ray.stages.dedup import ngram_jaccard_pairs
+
+    rows = [(1, "   "), (2, "      "), (3, "\t\t"), (4, BASE), (5, BASE)]
+    pairs = ngram_jaccard_pairs(_docs_ds(rows), threshold=0.5).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(4, 5)}

@@ -102,3 +102,23 @@ def test_corpus_rejects_unknown_drop_strategy(ray_session, tmp_path):
     with pytest.raises(ValueError, match="drop_strategy"):
         build_corpus(pages, checkpoint_dir=str(tmp_path / "c"),
                      drop_strategy="anti-join")
+
+
+def test_corpus_checkpoint_invalidated_by_param_change(ray_session, tmp_path):
+    """Same checkpoint_dir, different filter params → the marker key
+    mismatch forces recompute (no silently stale corpus)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.pipelines.training_data import build_corpus
+    from occular_ocr_ray.sources.pages import write_pages
+
+    pages_dir = tmp_path / "pages"
+    write_pages(str(pages_dir), 60, seed=42, num_files=2)
+    counts = {}
+    for q in (0.0, 0.55):
+        pages = rd.read_parquet(str(pages_dir), columns=["url", "html", "text"])
+        corpus, funnel = build_corpus(
+            pages, min_quality=q, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        counts[q] = funnel["after_extract_and_quality"]
+    assert counts[0.55] < counts[0.0]  # stricter threshold visibly applied
