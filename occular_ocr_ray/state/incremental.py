@@ -111,14 +111,31 @@ class IncrementalDeduper:
         actor = ray.remote(num_cpus=0)(_FingerprintShard)
         if name is None:
             self.shards = [actor.remote() for _ in range(num_shards)]
-        else:
-            self.shards = [
-                actor.options(
-                    name=f"{name}:shard{i}", namespace=self._NAMESPACE,
-                    lifetime="detached", get_if_exists=True,
-                ).remote()
-                for i in range(num_shards)
-            ]
+            return
+        # num_shards is part of a named index's identity: routing is
+        # fp % num_shards, so attaching with a different count would
+        # silently re-admit content (wrong shard consulted).  Detect a
+        # live index's width before creating anything.
+        def _exists(i: int) -> bool:
+            try:
+                ray.get_actor(f"{name}:shard{i}", namespace=self._NAMESPACE)
+                return True
+            except ValueError:
+                return False
+
+        if _exists(0):
+            if not _exists(num_shards - 1) or _exists(num_shards):
+                raise ValueError(
+                    f"named index {name!r} exists with a different num_shards; "
+                    f"re-attach with the original shard count"
+                )
+        self.shards = [
+            actor.options(
+                name=f"{name}:shard{i}", namespace=self._NAMESPACE,
+                lifetime="detached", get_if_exists=True,
+            ).remote()
+            for i in range(num_shards)
+        ]
 
     def _filter_fn(self):
         shards, n, text_col = self.shards, self.num_shards, self.text_col

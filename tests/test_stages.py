@@ -532,3 +532,22 @@ def test_whitespace_only_docs_skip_ngram_path():
     rows = [(1, "   "), (2, "      "), (3, "\t\t"), (4, BASE), (5, BASE)]
     pairs = ngram_jaccard_pairs(_docs_ds(rows), threshold=0.5).to_pandas()
     assert set(zip(pairs["id_a"], pairs["id_b"])) == {(4, 5)}
+
+
+def test_incremental_named_index_shard_count_guard():
+    """Attaching to a live named index with a different num_shards must
+    raise (routing is fp % num_shards — a silent mismatch would
+    re-admit content)."""
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    a = IncrementalDeduper(num_shards=3, name="t-guard")
+    try:
+        a.dedup(_docs_ds([(1, "w")])).count()
+        with pytest.raises(ValueError, match="num_shards"):
+            IncrementalDeduper(num_shards=2, name="t-guard")
+        with pytest.raises(ValueError, match="num_shards"):
+            IncrementalDeduper(num_shards=5, name="t-guard")
+        b = IncrementalDeduper(num_shards=3, name="t-guard")  # correct count
+        assert b.index_size() == 1
+    finally:
+        a.shutdown()
