@@ -551,3 +551,54 @@ def test_incremental_named_index_shard_count_guard():
         assert b.index_size() == 1
     finally:
         a.shutdown()
+
+
+def test_cc_random_graphs_match_union_find():
+    """Distributed min-label propagation equals a reference union-find
+    on a seeded random cluster graph.  Cluster-star topology (members →
+    hub, random hub-hub merges) keeps the diameter ≤ ~5 so the test
+    costs a handful of propagation rounds — each round is a join +
+    groupby, so CI time scales with graph diameter, not node count."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.cc import connected_component_labels
+
+    rng = np.random.RandomState(3)
+    n, n_clusters = 80, 12
+    ids = list(range(n))
+    cluster = rng.randint(0, n_clusters, size=n)
+    hubs = {c: min(i for i in ids if cluster[i] == c)
+            for c in set(int(c) for c in cluster)}
+    edges = [(i, hubs[int(cluster[i])]) for i in ids if i != hubs[int(cluster[i])]]
+    hub_list = sorted(hubs.values())
+    for _ in range(5):  # random cluster merges
+        a, b = rng.choice(hub_list, size=2, replace=False)
+        edges.append((int(a), int(b)))
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, int] = {}
+    for i in ids:
+        r = find(i)
+        comp[r] = min(comp.get(r, i), i)
+    expect = {i: comp[find(i)] for i in ids}
+
+    ids_ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    labels = connected_component_labels(ids_ds, pairs).to_pandas()
+    got = dict(zip(labels["doc_id"], labels["label"]))
+    assert got == expect
