@@ -578,8 +578,7 @@ def orders_join_priority_bucketed(sf_dir: str) -> pd.DataFrame:
 
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = bucketed_hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey",
-                                num_buckets=16)
+    joined = bucketed_hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(

@@ -50,7 +50,27 @@ _DROP_SET_CACHE: dict[str, pa.Array] = {}
 _DROP_SET_CACHE_MAX = 4
 
 
-def _checkpoint(ds: rd.Dataset, path: str, key: str) -> rd.Dataset:
+# schema of the analyzed stream (extract → TextStats), used as the
+# explicit fallback when an EMPTY checkpoint must persist a schema-only
+# parquet file (schema inference over an all-empty map_groups output is
+# not guaranteed)
+_ANALYZED_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("extracted_text", pa.string()),
+        ("n_tokens", pa.int64()),
+        ("n_bpe_tokens", pa.int64()),
+        ("pred_lang", pa.string()),
+        ("quality", pa.float64()),
+        ("fp_md5", pa.string()),
+        ("fp_rolling", pa.int64()),
+    ]
+)
+_EXACT_KEPT_SCHEMA = _ANALYZED_SCHEMA.append(pa.field("row_id", pa.int64()))
+
+
+def _checkpoint(ds: rd.Dataset, path: str, key: str,
+                fallback_schema: pa.Schema | None = None) -> rd.Dataset:
     """Write a multi-consumer intermediate to parquet and re-read it:
     downstream consumers each stream from disk instead of recomputing
     lineage or pinning the whole stage output in the object store.
@@ -73,9 +93,27 @@ def _checkpoint(ds: rd.Dataset, path: str, key: str) -> rd.Dataset:
     for stale in _glob.glob(path.rstrip("/") + ".done.*"):
         os.remove(stale)
     ds.write_parquet(path)
+    if not _glob.glob(os.path.join(path, "*.parquet")):
+        # all rows filtered out → write_parquet emitted ZERO files; a
+        # re-read would raise.  Persist a schema-only file so the empty
+        # checkpoint round-trips (strict filters must yield an empty
+        # corpus, not a crash).
+        import pyarrow.parquet as _pq
+
+        from ..stages.joins import _arrow_schema
+
+        schema = fallback_schema
+        if schema is None:
+            schema = _arrow_schema(ds)
+        os.makedirs(path, exist_ok=True)
+        _pq.write_table(schema.empty_table(),
+                        os.path.join(path, "empty-0000.parquet"))
+    out = rd.read_parquet(path)
+    # marker commits only after the re-read succeeds (file listing +
+    # schema resolution) — a half-written checkpoint must not be blessed
     with open(marker, "w") as fh:
         fh.write("ok")
-    return rd.read_parquet(path)
+    return out
 
 
 def build_corpus(
@@ -142,7 +180,8 @@ def build_corpus(
     params_key = _hashlib.md5(
         repr((min_quality, min_tokens, tuple(langs), batch_size)).encode()
     ).hexdigest()[:12]
-    filtered = _checkpoint(filtered, os.path.join(checkpoint_dir, "filtered"), params_key)
+    filtered = _checkpoint(filtered, os.path.join(checkpoint_dir, "filtered"),
+                           params_key, fallback_schema=_ANALYZED_SCHEMA)
     funnel["after_extract_and_quality"] = filtered.count()
 
     # Exact row dedup: THE one corpus shuffle — hash-group rows by
@@ -170,6 +209,7 @@ def build_corpus(
         .map_groups(keep_first, batch_format="pandas")
         .map_batches(_with_int_id, batch_format="pyarrow"),
         os.path.join(checkpoint_dir, "exact_kept"), params_key,
+        fallback_schema=_EXACT_KEPT_SCHEMA,
     )
     funnel["after_exact_dedup"] = exact_kept.count()
 
@@ -192,7 +232,7 @@ def build_corpus(
         corpus = (
             exact_kept
             if drop_ds is None
-            else anti_join_ids(exact_kept, drop_ds, id_col="row_id")
+            else anti_join_ids(exact_kept, drop_ds, id_col="row_id", drop_col="id")
         )
     else:
         drop_df = neardup_drop_ids(pairs, strategy="driver")

@@ -101,7 +101,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.json_out:
             # JSON file sink (reference --out, cli.py:161-164): one JSON
             # file per block, written in parallel — debugging/interchange
-            # format, not the scale path.
+            # format, not the scale path.  Clear the dir first: Ray's
+            # write filenames carry a fresh uuid per run, so a re-run
+            # (incl. resume) would otherwise mix two generations of
+            # files and duplicate rows — same hazard the parquet wave
+            # dirs guard against in _run_wave.
+            import shutil
+
+            shutil.rmtree(args.json_out, ignore_errors=True)
             read_extracted(
                 args.output, columns=["url", "extracted_text", "method"]
             ).write_json(args.json_out)

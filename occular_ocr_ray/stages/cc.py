@@ -32,6 +32,7 @@ def connected_component_labels(
     *,
     id_col: str = "doc_id",
     max_rounds: int = 25,
+    num_buckets: int | None = None,
 ):
     """ids_ds: Dataset with ``id_col`` (every node); pairs_ds: Dataset
     with (id_a, id_b) undirected edges.  Returns a Dataset
@@ -60,7 +61,13 @@ def connected_component_labels(
     def total(ds) -> int:
         return int(ds.aggregate(Sum("label", alias_name="s"))["s"])
 
-    from .joins import bucketed_hash_join
+    from .joins import _default_num_buckets, bucketed_hash_join
+
+    # join width tracks the cluster (~2 buckets/core, floor 32) so the
+    # per-round (edges ⋈ labels) exchange never caps parallelism on a
+    # big cluster; override for tests or known-small graphs
+    if num_buckets is None:
+        num_buckets = _default_num_buckets()
 
     prev = total(labels)
     for _ in range(max_rounds):
@@ -69,7 +76,7 @@ def connected_component_labels(
         # to the schemaless-empty-partition blocks hash aggregation can
         # emit, which break Dataset.join's pyarrow key resolution)
         msgs = bucketed_hash_join(
-            edges, labels, left_on="node", right_on="node", num_buckets=16
+            edges, labels, left_on="node", right_on="node", num_buckets=num_buckets
         ).map_batches(
             lambda b: pa.table({"node": b["nbr"], "label": b["label"]}),
             batch_format="pyarrow",

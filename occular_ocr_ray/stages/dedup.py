@@ -360,13 +360,15 @@ def neardup_drop_ids(pairs_ds, *, strategy: str = "driver") -> pd.DataFrame:
     return pd.DataFrame({"id": pd.Series(drop, dtype="int64")})
 
 
-def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None = None):
+def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None = None,
+                  drop_col: str | None = None):
     """Distributed anti-semi-join: remove from ``ds`` every row whose
-    ``id_col`` appears in ``drop_ds`` (a Dataset with one ``id_col``
-    column) — NOTHING is collected or broadcast.  This is the dedup path
-    for dup-heavy corpora where even the drop-set outgrows a broadcast:
-    both sides bucket by id hash (the only shuffle), and each bucket
-    filters its corpus rows against its bucket-local drop ids.
+    ``id_col`` appears in ``drop_ds`` (a Dataset whose id column is
+    ``drop_col``, default ``id_col`` — ``neardup_drop_ids_dataset``
+    emits ``id``) — NOTHING is collected or broadcast.  This is the
+    dedup path for dup-heavy corpora where even the drop-set outgrows a
+    broadcast: both sides bucket by id hash (the only shuffle), and each
+    bucket filters its corpus rows against its bucket-local drop ids.
 
     The common case (drop-set ≪ corpus) should prefer the broadcast
     filter in ``pipelines/training_data.py`` — one ``ray.put`` beats a
@@ -375,8 +377,9 @@ def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None =
 
     if num_buckets is None:
         num_buckets = _default_num_buckets()
+    src_col = drop_col or id_col
     drop_only = drop_ds.map_batches(
-        lambda b: pa.table({id_col: b[id_col].cast(pa.int64())}),
+        lambda b: pa.table({id_col: b[src_col].cast(pa.int64())}),
         batch_format="pyarrow",
     )
     tagged, lschema, _ = _tagged_bucket_union(
@@ -504,6 +507,41 @@ def simhash_pairs(
 
 
 # --- embedding cosine near-dup ----------------------------------------
+class HyperplaneBucketer:
+    """Actor stage: vector → sign-pattern LSH bucket key (Charikar
+    2002).  The seeded hyperplane matrix is built ONCE per actor in
+    ``__init__`` (when ``dim`` is given) or on the first batch (dim
+    inferred) — never per batch: at real embedding dims (1k-4k) a
+    per-batch ``standard_normal((dim, n_planes))`` rebuild is a
+    measurable pure-overhead tax on the hot path.  Seed is fixed →
+    identical keys across actors, runs, and processes."""
+
+    _SEED = 4801
+
+    def __init__(self, id_col: str, vec_col: str, n_planes: int,
+                 dim: int | None = None) -> None:
+        self.id_col, self.vec_col, self.n_planes = id_col, vec_col, n_planes
+        self._planes = self._build(dim) if dim else None
+
+    def _build(self, dim: int) -> np.ndarray:
+        return np.random.RandomState(self._SEED).standard_normal((dim, self.n_planes))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        dim = vecs.shape[1] if vecs.ndim == 2 else 0
+        if self._planes is None or self._planes.shape[0] != dim:
+            self._planes = self._build(dim)
+        signs = (vecs @ self._planes) >= 0
+        keys = signs.dot(1 << np.arange(self.n_planes)).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "id": batch[self.id_col],
+                "vec": batch[self.vec_col],
+            }
+        )
+
+
 def embedding_neardup_pairs(
     ds,
     id_col: str = "vec_id",
@@ -512,24 +550,13 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 12,
     max_pairs_per_bucket: int = 500,
+    dim: int | None = None,
+    concurrency=None,
 ):
     """Embedding near-dup via random-hyperplane LSH (Charikar 2002):
     sign-pattern bucket key, exact cosine verification inside buckets.
-    The hyperplane matrix is seeded → stable across runs/processes."""
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        dim = vecs.shape[1] if vecs.ndim == 2 else 0
-        planes = np.random.RandomState(4801).standard_normal((dim, n_planes))
-        signs = (vecs @ planes) >= 0
-        keys = signs.dot(1 << np.arange(n_planes)).astype(np.int64)
-        return pa.table(
-            {
-                "key": pa.array(keys, pa.int64()),
-                "id": batch[id_col],
-                "vec": batch[vec_col],
-            }
-        )
+    The hyperplane matrix is seeded → stable across runs/processes, and
+    held as per-actor state (``HyperplaneBucketer``)."""
 
     def one_bucket(g: pd.DataFrame, rows: list) -> None:
         if len(g) < 2:
@@ -544,7 +571,14 @@ def embedding_neardup_pairs(
         sim_of = lambda i, j: float(sims[i, j])  # noqa: E731
         _emit_budgeted_pairs(ids, sim_of, threshold, max_pairs_per_bucket, rows)
 
-    buckets = ds.map_batches(add_bucket, batch_format="pyarrow")
+    kwargs = dict(id_col=id_col, vec_col=vec_col, n_planes=n_planes, dim=dim)
+    if concurrency is None:
+        buckets = ds.map_batches(HyperplaneBucketer(**kwargs), batch_format="pyarrow")
+    else:
+        buckets = ds.map_batches(
+            HyperplaneBucketer, fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow", concurrency=concurrency, num_cpus=1,
+        )
     pairs = _add_coarse(buckets, "key").groupby("coarse").map_groups(
         _coarse_group_fn(["key"], one_bucket), batch_format="pandas"
     )

@@ -24,11 +24,13 @@ Design:
   md5 map-side, groups digests per shard, and makes ONE call per shard
   per batch (not per row).  Admission is first-writer-wins and
   RETRY-IDEMPOTENT: each admission records the admitting batch's
-  content key, so a Ray task retry (same batch content) gets its
-  original True answers back instead of losing the batch's unique rows.
-  (Two *distinct* batches with an identical fingerprint multiset would
-  share a key and both keep their rows — content-identical rows, so
-  dedup quality degrades by at most that one batch, never data loss.)
+  content key — the blake2b of the WHOLE batch's ordered fingerprint
+  list, computed once and sent to every shard — so a Ray task retry
+  (same batch content) gets its original True answers back instead of
+  losing the batch's unique rows.  (Two *distinct* batches share a key
+  only if their full fingerprint sequences are identical —
+  content-identical batches, so dedup quality degrades by at most that
+  one batch, never data loss.)
 - ``dedup`` returns a MATERIALIZED Dataset: the filter is a
   side-effecting read-modify-write of the index, so a lazy result would
   re-execute on every consumption and return zero rows the second time.
@@ -149,12 +151,18 @@ class IncrementalDeduper:
                 s = int.from_bytes(fp[:8], "little") % n
                 by_shard.setdefault(s, []).append(i)
             keep = [False] * len(fps)
+            # batch identity = the WHOLE batch's ordered fingerprint
+            # list, derived once and sent to every shard: a task retry
+            # recomputes the identical key, while two distinct batches
+            # collide only if their full fingerprint sequences coincide
+            # (content-identical batches — dedup quality unaffected).
+            # A per-shard sublist key would make e.g. any two batches
+            # that each route a single duplicate fp to some shard look
+            # like retries of each other there, re-admitting the dup.
+            bkey = hashlib.blake2b(b"".join(fps), digest_size=16).digest()
             refs, owners = [], []
             for s, idxs in by_shard.items():
                 sub = [fps[i] for i in idxs]
-                # batch identity = content of this shard's sublist →
-                # a task retry presents the same key and is idempotent
-                bkey = hashlib.blake2b(b"".join(sub), digest_size=16).digest()
                 refs.append(shards[s].admit.remote(sub, bkey))
                 owners.append(idxs)
             for idxs, mask in zip(owners, ray.get(refs)):

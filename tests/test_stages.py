@@ -509,6 +509,43 @@ def test_incremental_dedup_reconsumption_and_retry_idempotent():
     ray.kill(shard)
 
 
+def test_incremental_dedup_batch_key_is_whole_batch():
+    """Retry-idempotency key must be derived from the WHOLE batch's
+    fingerprint list, not the per-shard sublist: two distinct batches
+    that each route a single duplicate fp to one shard must NOT look
+    like retries of each other there (the per-shard key bug re-admitted
+    the duplicate)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    n = 4
+
+    def route(t: str) -> int:
+        return int.from_bytes(
+            hashlib.md5(t.encode()).digest()[:8], "little") % n
+
+    dup = "dupx"
+    # filler words routed AWAY from dup's shard, so each batch's sublist
+    # to that shard is exactly [fp(dup)]
+    fillers = [w for w in (f"w{i}" for i in range(100)) if route(w) != route(dup)]
+    y, z = fillers[0], fillers[1]
+    dd = IncrementalDeduper(num_shards=n)
+    try:
+        f = dd._filter_fn()
+        a = f(pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                        "text": pa.array([dup, y], pa.string())}))
+        assert a.num_rows == 2
+        b = f(pa.table({"doc_id": pa.array([3, 4], pa.int64()),
+                        "text": pa.array([dup, z], pa.string())}))
+        assert b["doc_id"].to_pylist() == [4]  # dup dropped, z admitted
+        assert dd.index_size() == 3
+    finally:
+        dd.shutdown()
+
+
 def test_incremental_dedup_named_index_reattach():
     """A named index is detached: a second handle with the same name
     attaches to the SAME shards (simulating a restarted ingest driver)."""
@@ -602,3 +639,26 @@ def test_cc_random_graphs_match_union_find():
     labels = connected_component_labels(ids_ds, pairs).to_pandas()
     got = dict(zip(labels["doc_id"], labels["label"]))
     assert got == expect
+
+
+def test_cc_bucket_width_tracks_cluster(ray_session):
+    """The CC round-join width must scale with the cluster (the r2
+    16-bucket hardcode capped the 10^12-row path at 16-way join
+    parallelism) and accept an explicit override."""
+    import ray
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.cc import connected_component_labels
+    from occular_ocr_ray.stages.joins import _default_num_buckets
+
+    cores = int(ray.cluster_resources().get("CPU", 0))
+    assert _default_num_buckets() == max(32, 2 * cores)
+
+    ids_ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([1], pa.int64()),
+        "id_b": pa.array([2], pa.int64()),
+    }))
+    labels = connected_component_labels(
+        ids_ds, pairs, num_buckets=4).to_pandas()
+    assert dict(zip(labels["doc_id"], labels["label"])) == {1: 1, 2: 1, 3: 3}
