@@ -313,7 +313,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_hash": """
             SELECT doc_id FROM documents
-            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1', '2')
+            WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 < 805306368
             ORDER BY doc_id
         """,
         "events_sliding": """

@@ -233,6 +233,25 @@ def list_input_files(input_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(input_dir, "*.parquet")))
 
 
+def list_bucketed_input_files(input_dir: str) -> list[str]:
+    """File list for a size-bucketed input layout
+    (``sources.ingest.bucket_pages_by_size`` output: ``small/`` +
+    ``giant/`` parquet sets).  Small files first, then giant — both
+    sorted, so wave assignment is deterministic."""
+    small = sorted(glob.glob(os.path.join(input_dir, "small", "*.parquet")))
+    giant = sorted(glob.glob(os.path.join(input_dir, "giant", "*.parquet")))
+    return small + giant
+
+
+def _split_bucketed(files: list[str]) -> tuple[list[str], list[str]]:
+    """Partition a pre-bucketed wave's file list by branch — every file
+    lands in exactly ONE branch (dir name is the router), which is the
+    single-scan guarantee the in-flight filter routing lacks."""
+    giant = [f for f in files if os.path.basename(os.path.dirname(f)) == "giant"]
+    small = [f for f in files if os.path.basename(os.path.dirname(f)) != "giant"]
+    return small, giant
+
+
 def run_extraction(
     input_dir: str,
     output_dir: str,
@@ -248,9 +267,17 @@ def run_extraction(
     force_parse: bool = False,
     giant_threshold: int | None = None,
     extractor_kwargs: dict | None = None,
+    pre_bucketed: bool = False,
 ) -> dict:
     """Run (or resume) the flagship job.  Returns a summary dict with
     per-wave status and global totals.
+
+    ``pre_bucketed=True``: ``input_dir`` is a size-bucketed layout
+    (``sources.ingest.bucket_pages_by_size``: ``small/`` + ``giant/``)
+    — the giant branch gets its own file set (``batch_size=1`` stage)
+    and each input file is read by exactly one branch, vs the in-flight
+    ``giant_threshold`` filter routing which scans the pruned input
+    once per branch.  The two modes are mutually exclusive.
 
     ``wave_concurrency`` > 1 overlaps wave pipelines (a small thread
     window): wave k+1 ramps up while wave k drains its write tail, so
@@ -262,6 +289,11 @@ def run_extraction(
 
     _patch_fsspec_http_race()
     num_waves = max(1, num_waves)
+    if pre_bucketed and giant_threshold is not None:
+        raise ValueError(
+            "pre_bucketed and giant_threshold are mutually exclusive: "
+            "a bucketed input is already size-routed at ingest"
+        )
     if concurrency is not None:
         # Actor-pool waves must not overlap: two independent executions
         # cannot coordinate CPU reservations, so pool actors from wave
@@ -269,7 +301,10 @@ def run_extraction(
         # deadlock at pool_size x window == num_cpus).  Stateless-task
         # waves are elastic and overlap safely.
         wave_concurrency = 1
-    files = list_input_files(input_dir)
+    files = (
+        list_bucketed_input_files(input_dir) if pre_bucketed
+        else list_input_files(input_dir)
+    )
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_dir}")
     manifest_dir = os.path.join(output_dir, "manifest")
@@ -303,6 +338,7 @@ def run_extraction(
                     hive_partition=hive_partition, force_parse=force_parse,
                     giant_threshold=giant_threshold,
                     extractor_kwargs=extractor_kwargs,
+                    pre_bucketed=pre_bucketed,
                 )
                 for k in to_run
             }
@@ -331,18 +367,37 @@ def _run_wave(
     force_parse: bool = False,
     giant_threshold: int | None = None,
     extractor_kwargs: dict | None = None,
+    pre_bucketed: bool = False,
 ) -> dict:
     wave_dir = os.path.join(data_dir, f"wave={k}")
     if os.path.exists(wave_dir):  # partial output from a crashed run
         shutil.rmtree(wave_dir)
 
+    kw = dict(extractor=extractor, num_parts=num_parts,
+              force_parse=force_parse, extractor_kwargs=extractor_kwargs)
     # Prune at the read: extraction needs only these three columns.
-    ds = rd.read_parquet(files, columns=["url", "html", "text"])
-    out = extract_dataset(
-        ds, extractor=extractor, concurrency=concurrency,
-        batch_size=batch_size, num_parts=num_parts, force_parse=force_parse,
-        giant_threshold=giant_threshold, extractor_kwargs=extractor_kwargs,
-    )
+    cols = ["url", "html", "text"]
+    if pre_bucketed:
+        # each file feeds exactly ONE branch (single-scan giant routing)
+        small_files, giant_files = _split_bucketed(files)
+        branches = []
+        if small_files:
+            branches.append(extract_dataset(
+                rd.read_parquet(small_files, columns=cols),
+                concurrency=concurrency, batch_size=batch_size, **kw,
+            ))
+        if giant_files:
+            branches.append(extract_dataset(
+                rd.read_parquet(giant_files, columns=cols),
+                concurrency=None, batch_size=1, **kw,
+            ))
+        out = branches[0] if len(branches) == 1 else branches[0].union(branches[1])
+    else:
+        ds = rd.read_parquet(files, columns=cols)
+        out = extract_dataset(
+            ds, concurrency=concurrency, batch_size=batch_size,
+            giant_threshold=giant_threshold, **kw,
+        )
     sink = _WaveSink(wave_dir, hive_partition)
     out.write_datasink(sink)
 

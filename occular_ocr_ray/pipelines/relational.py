@@ -510,21 +510,23 @@ def views_near_clicks(sf_dir: str) -> pd.DataFrame:
 
 
 def sample_hash(sf_dir: str) -> pd.DataFrame:
-    """Deterministic hash-based sampling (~3/16 of rows): keep rows whose
-    md5(doc_id) starts with hex 0-2.  Unlike seeded random_sample this is
-    parallelism- and partitioning-invariant — the correct sampling
-    primitive for reproducible pipelines at scale."""
-    import hashlib
-
+    """Deterministic hash-based sampling (~3/16 of rows): keep rows
+    whose 32-bit Knuth multiplicative hash of doc_id (Fibonacci
+    constant 2654435761, TAOCP vol.3 §6.4) lands below 3/16 of the
+    hash space.  Unlike seeded random_sample this is parallelism- and
+    partitioning-invariant — the correct sampling primitive for
+    reproducible pipelines at scale — and fully vectorized (numpy
+    uint64; the round-1/2 per-row md5 loop is gone).  The oracle
+    computes the identical hash in HUGEINT SQL; both sides assume
+    non-negative ids (true of every table here)."""
     ds = _t(sf_dir, "documents", ["doc_id"])
+    K, M = np.uint64(2654435761), np.uint64(1 << 32)
+    CUT = np.uint64(3 * (1 << 32) // 16)
 
     def f(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        keep = [
-            i for i in ids
-            if hashlib.md5(str(i).encode()).hexdigest()[0] in "012"
-        ]
-        return pa.table({"doc_id": pa.array(keep, pa.int64())})
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % M) * K) % M  # product < 2^64 → exact in uint64
+        return batch.filter(pa.array(h < CUT))
 
     return ds.map_batches(f, batch_format="pyarrow").sort("doc_id").to_pandas()
 

@@ -69,7 +69,16 @@ def main(argv: list[str] | None = None) -> int:
                          "text layer exists (reference force_ocr analog)")
     ap.add_argument("--giant-threshold", type=int, default=None, metavar="BYTES",
                     help="route html payloads larger than BYTES to a "
-                         "batch_size=1 sibling stage (skew mitigation)")
+                         "batch_size=1 sibling stage (skew mitigation; "
+                         "reads the pruned input once per branch)")
+    ap.add_argument("--bucket-by-size", type=int, default=None, metavar="BYTES",
+                    help="first split the input into <output>/bucketed/"
+                         "{small,giant} at BYTES (one ingest pass), then "
+                         "extract each bucket with its own branch — the "
+                         "single-scan alternative to --giant-threshold")
+    ap.add_argument("--pre-bucketed", action="store_true",
+                    help="input dir is already a small/ + giant/ layout "
+                         "(bucket_pages_by_size output)")
     ap.add_argument("--json-out", default=None, metavar="DIR",
                     help="also write extracted rows as JSON files under DIR")
     ap.add_argument("--stdout-text", action="store_true",
@@ -84,8 +93,25 @@ def main(argv: list[str] | None = None) -> int:
     try:
         from .pipelines.flagship import read_extracted, run_extraction
 
+        input_dir, pre_bucketed = args.input, args.pre_bucketed
+        if args.bucket_by_size is not None:
+            if pre_bucketed or args.giant_threshold is not None:
+                raise ValueError(
+                    "--bucket-by-size conflicts with --pre-bucketed / "
+                    "--giant-threshold"
+                )
+            import os
+
+            from .sources.ingest import bucket_pages_by_size
+
+            bucket_dir = os.path.join(args.output, "bucketed")
+            totals = bucket_pages_by_size(args.input, bucket_dir,
+                                          args.bucket_by_size)
+            print(f"bucketed: {totals}", file=sys.stderr)
+            input_dir, pre_bucketed = bucket_dir, True
+
         summary = run_extraction(
-            args.input,
+            input_dir,
             args.output,
             num_waves=args.num_waves,
             resume=not args.no_resume,
@@ -97,6 +123,7 @@ def main(argv: list[str] | None = None) -> int:
             force_parse=args.force_parse,
             giant_threshold=args.giant_threshold,
             extractor_kwargs=_parse_extractor_args(args.extractor_arg),
+            pre_bucketed=pre_bucketed,
         )
         if args.json_out:
             # JSON file sink (reference --out, cli.py:161-164): one JSON

@@ -15,6 +15,7 @@ import base64
 
 import pyarrow as pa
 import ray.data as rd
+from ray.data import Datasink as _Datasink
 
 from .pages import PAGES_SCHEMA
 
@@ -91,3 +92,89 @@ def read_pages_json(paths) -> rd.Dataset:
 def read_pages_csv(paths) -> rd.Dataset:
     """CSV shards (text pages) → pages Dataset."""
     return rd.read_csv(paths).map_batches(_normalize_batch, batch_format="pyarrow")
+
+
+class _SizeBucketSink(_Datasink):
+    """Datasink that routes each row to ``small/`` or ``giant/`` by html
+    payload size in ONE pass — the ingest-time alternative to the
+    flagship's ``giant_threshold`` filter routing, which reads the
+    (pruned) input twice (``flagship.py`` skew note).  File names derive
+    from ``(task_idx, block_ordinal)`` so a retried write task
+    overwrites its own files (same idempotency contract as the
+    flagship's ``_WaveSink``)."""
+
+    def __init__(self, out_dir: str, giant_threshold: int) -> None:
+        import os
+
+        self._small = os.path.join(out_dir, "small")
+        self._giant = os.path.join(out_dir, "giant")
+        self._thr = giant_threshold
+
+    @property
+    def supports_distributed_writes(self) -> bool:
+        return True
+
+    def on_write_start(self) -> None:
+        import os
+
+        os.makedirs(self._small, exist_ok=True)
+        os.makedirs(self._giant, exist_ok=True)
+
+    def write(self, blocks, ctx) -> dict:
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from ray.data.block import BlockAccessor
+
+        counts = {"small": 0, "giant": 0}
+        for bi, block in enumerate(blocks):
+            tbl = BlockAccessor.for_block(block).to_arrow()
+            if tbl.num_rows == 0:
+                continue
+            ln = pc.fill_null(pc.binary_length(tbl["html"]), 0)
+            giant_mask = pc.greater(ln, self._thr)
+            fname = f"part-{ctx.task_idx:06d}-{bi:04d}.parquet"
+            for d, sub in (
+                (self._small, tbl.filter(pc.invert(giant_mask))),
+                (self._giant, tbl.filter(giant_mask)),
+            ):
+                if sub.num_rows == 0:
+                    continue
+                pq.write_table(sub, os.path.join(d, fname))
+                counts["small" if d == self._small else "giant"] += sub.num_rows
+        return counts
+
+    def on_write_complete(self, write_result) -> None:
+        self.totals = {"small": 0, "giant": 0}
+        for partial in write_result.write_returns:
+            for k, v in partial.items():
+                self.totals[k] += v
+
+
+def bucket_pages_by_size(input_dir: str, out_dir: str, giant_threshold: int) -> dict:
+    """ONE streaming pass over a pages parquet dir → ``out_dir/small``
+    and ``out_dir/giant`` parquet sets split at ``giant_threshold``
+    html bytes.  Feed ``out_dir`` to
+    ``flagship.run_extraction(..., pre_bucketed=True)`` so the giant
+    branch gets its own file set and the extract phase reads each input
+    byte exactly once (vs the in-flight ``giant_threshold`` filter
+    routing, which scans the pruned input once per branch).
+
+    Returns ``{"small": n_rows, "giant": n_rows, "out_dir": ...}``."""
+    import glob as _glob
+    import os
+    import shutil
+
+    files = sorted(_glob.glob(os.path.join(input_dir, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    # wipe both buckets: write filenames are task-deterministic within a
+    # run but file COUNT can differ across runs, so a re-bucket into a
+    # non-empty dir could strand stale files
+    for sub in ("small", "giant"):
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+
+    sink = _SizeBucketSink(out_dir, giant_threshold)
+    rd.read_parquet(files).write_datasink(sink)
+    return {**sink.totals, "out_dir": out_dir}

@@ -149,6 +149,43 @@ def test_giant_threshold_routing(pages_dir, tmp_path):
     assert m0["rollup_digest"] == m1["rollup_digest"]
 
 
+def test_pre_bucketed_single_scan_routing(pages_dir, tmp_path):
+    """Ingest-time size bucketing (one pass → small/ + giant/) feeds
+    each extract branch its own file set: outputs and rollups identical
+    to both the flat run and the in-flight giant_threshold routing —
+    and every input file belongs to exactly one branch (the single-scan
+    property)."""
+    from occular_ocr_ray.pipelines.flagship import (
+        _split_bucketed, list_bucketed_input_files, run_extraction,
+    )
+    from occular_ocr_ray.sources.ingest import bucket_pages_by_size
+
+    bucket_dir = str(tmp_path / "bucketed")
+    totals = bucket_pages_by_size(pages_dir, bucket_dir, 1_000_000)
+    assert totals["small"] + totals["giant"] == 500
+    assert totals["giant"] > 0  # fixture has 5% giant rows ≥ 2 MB
+
+    files = list_bucketed_input_files(bucket_dir)
+    small, giant = _split_bucketed(files)
+    # partition: each file in exactly one branch, none dropped
+    assert set(small).isdisjoint(giant)
+    assert sorted(small + giant) == sorted(files) and giant
+
+    base = _extract_hashes(pages_dir, str(tmp_path / "b0"),
+                           num_waves=1, num_parts=8)
+    routed = _extract_hashes(bucket_dir, str(tmp_path / "b1"),
+                             num_waves=1, num_parts=8, pre_bucketed=True)
+    assert routed == base
+    m0 = json.load(open(os.path.join(str(tmp_path / "b0"), "manifest", "wave_0.json")))
+    m1 = json.load(open(os.path.join(str(tmp_path / "b1"), "manifest", "wave_0.json")))
+    assert m0["rollup_digest"] == m1["rollup_digest"]
+
+    # conflicting modes must fail fast
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_extraction(bucket_dir, str(tmp_path / "b2"), pre_bucketed=True,
+                       giant_threshold=1_000_000)
+
+
 def test_force_parse_reextracts_native_rows(pages_dir, tmp_path):
     """force_parse (reference force_ocr analog): rows with both a text
     layer and an html payload take the parsed branch instead."""
