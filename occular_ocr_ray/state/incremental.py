@@ -67,6 +67,37 @@ class _FingerprintShard:
     def __init__(self) -> None:
         self.seen: dict[bytes, bytes] = {}  # fp -> admitting batch key
 
+    def dump(self, path: str) -> int:
+        """Snapshot this shard's state to one parquet file (tmp+rename:
+        a torn write never masquerades as a snapshot).  The admitting
+        batch keys are persisted too, so retry idempotency survives a
+        save/load cycle."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "fp": pa.array(list(self.seen.keys()), pa.binary()),
+                "batch_key": pa.array(list(self.seen.values()), pa.binary()),
+            }
+        )
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        return tbl.num_rows
+
+    def restore(self, path: str) -> int:
+        """Replace this shard's state with a snapshot file's content."""
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        self.seen = dict(
+            zip(tbl["fp"].to_pylist(), tbl["batch_key"].to_pylist())
+        )
+        return len(self.seen)
+
     def admit(self, fps: list[bytes], batch_key: bytes) -> list[bool]:
         """First-writer-wins with retry idempotency: True where fp is
         new, or where THIS batch (same content key) already admitted it
@@ -179,6 +210,59 @@ class IncrementalDeduper:
         lazy plan would re-execute per consumption and come back empty
         the second time."""
         return ds.map_batches(self._filter_fn(), batch_format="pyarrow").materialize()
+
+    def save(self, dir_path: str) -> int:
+        """Snapshot the whole index to ``dir_path`` (per-shard parquet +
+        ``meta.json``) — the durability half of the detached-actor
+        design: detached shards survive a DRIVER restart, but a cluster
+        restart loses them, and without a snapshot the next ingest run
+        would silently re-admit all history.  ``meta.json`` commits LAST
+        (tmp+rename), so a crash mid-save leaves the previous loadable
+        snapshot (or none), never a torn one.
+
+        On a multi-node cluster ``dir_path`` must be shared storage
+        (object store / NFS) reachable from every shard actor; in this
+        sandbox everything is one node.  Returns total fingerprints
+        saved."""
+        import json
+        import os
+
+        os.makedirs(dir_path, exist_ok=True)
+        counts = ray.get(
+            [
+                s.dump.remote(os.path.join(dir_path, f"shard_{i:04d}.parquet"))
+                for i, s in enumerate(self.shards)
+            ]
+        )
+        meta = {"version": 1, "num_shards": self.num_shards,
+                "text_col": self.text_col, "total": sum(counts)}
+        tmp = os.path.join(dir_path, "meta.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(dir_path, "meta.json"))
+        return sum(counts)
+
+    @classmethod
+    def load(cls, dir_path: str, name: str | None = None) -> "IncrementalDeduper":
+        """Reconstruct an index from a ``save()`` snapshot: shard count
+        and text column come from ``meta.json`` (the snapshot owns the
+        routing identity), each shard restores its own file in parallel.
+        Restoring into a ``name`` whose detached actors are still alive
+        REPLACES their state with the snapshot's."""
+        import json
+        import os
+
+        with open(os.path.join(dir_path, "meta.json")) as fh:
+            meta = json.load(fh)
+        dd = cls(num_shards=meta["num_shards"], text_col=meta["text_col"],
+                 name=name)
+        ray.get(
+            [
+                s.restore.remote(os.path.join(dir_path, f"shard_{i:04d}.parquet"))
+                for i, s in enumerate(dd.shards)
+            ]
+        )
+        return dd
 
     def index_size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
