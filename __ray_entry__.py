@@ -90,12 +90,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "views_near_clicks": R.views_near_clicks,
         "events_union": R.events_union,
         "sample_hash": R.sample_hash,
+        # windowed ranking / grouped quantiles (round-3 additions)
+        "ranked_orders": R.ranked_orders,
+        "order_price_quantiles": R.order_price_quantiles,
         # documents / text scalar fns (SURVEY.md §2.7)
         "docs_lang_stats": R.docs_lang_stats,
         "token_counts": R.token_counts,
         "doc_chunks": R.doc_chunks,
         "doc_fingerprints": R.doc_fingerprints,
         "dedup_exact": R.dedup_exact,
+        "tfidf_top_terms": R.tfidf_top_terms,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
         "knn_ivf": R.knn_ivf_q,
@@ -237,6 +241,44 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_revenue
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "ranked_orders": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            QUALIFY rnk <= 3
+            ORDER BY c_mktsegment, rnk
+        """,
+        "order_price_quantiles": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   quantile_disc(o_totalprice, 0.25) AS p25,
+                   quantile_disc(o_totalprice, 0.50) AS p50,
+                   quantile_disc(o_totalprice, 0.90) AS p90
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "tfidf_top_terms": """
+            WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+            words AS (
+              SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS w
+              FROM docs WHERE t IS NOT NULL AND t <> ''
+            ),
+            tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                   FROM words GROUP BY doc_id, w),
+            df AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                   FROM tf GROUP BY w),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.w, tf.tf * ln(n.n / df.df) AS s
+              FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+            )
+            SELECT doc_id, w AS top_term, round(s, 6) AS tfidf
+            FROM scored
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, w) = 1
+            ORDER BY doc_id
         """,
         "orders_join_priority": """
             SELECT o_orderpriority,

@@ -77,7 +77,7 @@ def score_block(
     score = min(1.0, n / len_norm) * (1.0 - link_ratio)
     if _is_boiler_path(b.tag_path):
         score *= boiler_penalty
-    score = min(1.0, max(0.0, score))
+    score = min(1.0, max(0.0, score))  # custom thresholds may leave [0,1]
     keep = score >= keep_thresh and n >= min_chars
     return ScoredBlock(
         text=text, tag_path=b.tag_path, score=score, keep=keep, link_ratio=link_ratio

@@ -68,6 +68,15 @@ class _BlockParser(HTMLParser):
         self.blocks: list[RawBlock] = []
         self.cur = RawBlock()
 
+    # -- hot-path override ---------------------------------------------
+    def updatepos(self, i: int, j: int) -> int:
+        """Line/column tracking disabled: ``getpos`` is never consulted
+        (blocks carry tag-path provenance, not source offsets), and the
+        base implementation's newline counting is ~7% of the whole
+        parse on article-sized documents.  Token stream and handler
+        calls are unaffected — byte-identity is untouched (goldens)."""
+        return j
+
     # -- block lifecycle ------------------------------------------------
     def _flush(self) -> None:
         if self.cur.pieces:

@@ -635,3 +635,149 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
 
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
     return approx_distinct(ds, "event_type", "user_id")
+
+
+def _broadcast_custseg(sf_dir: str):
+    """customer custkey → mktsegment broadcast dict (dim table ≪ fact
+    table: one ``ray.put``, dict lookup in the batch fn — no shuffle
+    join, same pattern as ``revenue_by_region``)."""
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    return ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                            cust["c_mktsegment"].to_pylist())))
+
+
+def ranked_orders(sf_dir: str) -> pd.DataFrame:
+    """Windowed ranking — ROW_NUMBER() OVER (PARTITION BY segment ORDER
+    BY totalprice DESC, orderkey) QUALIFY rnk <= 3 — an operator Ray
+    Data lacks, expressed per SURVEY.md's custom-operator route (a):
+    broadcast dim lookup + ``groupby(segment).map_groups`` sort/head.
+    Only the 3-column projection shuffles and each group emits ≤ 3
+    rows, so the exchange is segment-count-bounded."""
+    ref = _broadcast_custseg(sf_dir)
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        return pd.DataFrame(
+            {"c_mktsegment": df["o_custkey"].map(lookup),
+             "o_orderkey": df["o_orderkey"],
+             "o_totalprice": df["o_totalprice"]}
+        )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["c_mktsegment", "o_orderkey", "o_totalprice", "rnk"]]
+
+    out = (
+        ds.map_batches(project, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(top3, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["c_mktsegment", "rnk"]).reset_index(drop=True)
+
+
+def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-segment exact discrete quantiles (p25/p50/p90) of order
+    totalprice — a grouped-quantile aggregate Ray Data lacks.  The
+    shuffle moves only the (segment, price) projection.  The index
+    convention matches DuckDB ``quantile_disc`` exactly:
+    idx = ceil(q·n) − 1, computed in INTEGER arithmetic — a float q·n
+    diverges (0.9·10 = 9.000000000000002 → ceil 10) where DuckDB's
+    decimal-typed q stays exact.  At 10^12-row groups exact quantiles
+    genuinely need the group's values co-located; prefer a sampled/
+    sketched variant there (cf. sketch_agg's HLL route) — documented
+    trade-off, not a silent one."""
+    ref = _broadcast_custseg(sf_dir)
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        return pd.DataFrame(
+            {"c_mktsegment": df["o_custkey"].map(lookup),
+             "o_totalprice": df["o_totalprice"]}
+        )
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["o_totalprice"].to_numpy())
+        n = len(v)
+
+        def q(a: int, b: int) -> float:  # value at ceil((a/b)·n) − 1
+            return float(v[max(0, (a * n + b - 1) // b - 1)])
+
+        return pd.DataFrame(
+            {"c_mktsegment": [g["c_mktsegment"].iloc[0]],
+             "n_orders": np.array([n], dtype=np.int64),
+             "p25": [q(1, 4)], "p50": [q(1, 2)], "p90": [q(9, 10)]}
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(quantiles, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-document top TF-IDF term over ``documents`` — the classic
+    corpus-statistics two-phase shape: (1) document frequencies via
+    map-side partial (word, df) counts → word-keyed groupby Sum (the
+    ONLY shuffle; pre-aggregated rows ≪ token stream), (2) the idf
+    table broadcast once (``ray.put`` — vocab ≪ corpus), per-doc
+    scoring embarrassingly parallel.  idf = ln(N/df) with N = total
+    document count; ties broken by lexicographically-first term
+    (ROW_NUMBER ... ORDER BY score DESC, term in the oracle)."""
+    import math
+    from collections import Counter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = float(ds.count())
+
+    def df_partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for t in df["text"]:
+            counts.update(set((t or "").split()))
+        return pd.DataFrame(
+            {"w": list(counts.keys()),
+             "df": np.fromiter(counts.values(), dtype=np.int64)}
+        )
+
+    df_tbl = (
+        ds.map_batches(df_partials, batch_format="pandas")
+        .groupby("w")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    idf_ref = ray.put(
+        {w: math.log(n_docs / d) for w, d in zip(df_tbl["w"], df_tbl["df"])}
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        idf = ray.get(idf_ref)
+        ids, terms, scores = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            words = (t or "").split()
+            if not words:
+                continue
+            best_w, best_s = None, -1.0
+            for w, tf in sorted(Counter(words).items()):
+                s = tf * idf[w]
+                if s > best_s:  # strict: lexicographically-first wins ties
+                    best_w, best_s = w, s
+            ids.append(did)
+            terms.append(best_w)
+            scores.append(best_s)
+        return pd.DataFrame(
+            {"doc_id": np.array(ids, dtype=np.int64),
+             "top_term": terms,
+             "tfidf": _round_away(np.array(scores), 6)}
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -12,7 +12,8 @@ Intended launch shape on a real cluster (SURVEY.md §3):
         --input <pages_parquet_dir> --output <out_dir> \\
         [--num-waves 16] [--num-parts 64] [--extractor density] \\
         [--extractor-arg keep_thresh=0.4] [--force-parse] \\
-        [--giant-threshold 4000000] [--json-out <dir>] [--stdout-text] \\
+        [--giant-threshold 4000000 | --bucket-by-size 4000000 | --pre-bucketed] \\
+        [--json-out <dir>] [--stdout-text] \\
         [--concurrency 8] [--batch-size 32] [--no-resume]
 
 This module OWNS a Ray session (guarded init, shutdown at exit) —

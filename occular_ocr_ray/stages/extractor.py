@@ -13,6 +13,7 @@ inside the parse.
 
 from __future__ import annotations
 
+import gc
 import zlib
 
 import pyarrow as pa
@@ -20,6 +21,21 @@ import pyarrow as pa
 from ..functions.extract import extract_row
 from ..schemas import EXTRACTED_SCHEMA
 from ..state.registry import register_extractor
+
+
+def _tune_gc_for_parse() -> None:
+    """Raise the gen-0 GC threshold in this worker process (once): the
+    parse kernel allocates millions of short-lived container objects per
+    batch (parser state, RawBlock/ScoredBlock, span dicts), none of them
+    cyclic, so CPython's default gen-0 threshold (700) fires thousands
+    of useless young-gen scans per batch — measured ~10% of kernel wall
+    on article-sized documents (clean-process A/B, 400-doc batch:
+    ~2.7 s → ~2.46 s).  50k bounds the young generation to a few tens
+    of MB; collection still runs, just 70x less often.  Process-global
+    by design — called from stage ``__init__`` so every Ray worker that
+    hosts a parse stage gets it exactly once."""
+    if gc.get_threshold()[0] < 50_000:
+        gc.set_threshold(50_000, 100, 100)
 
 
 def url_host_part(url: str, num_parts: int) -> int:
@@ -53,6 +69,8 @@ class DensityExtractor:
         # Touch the heuristic tables so import/compile cost is paid at
         # actor construction, not first batch.
         from ..functions import classify, html_blocks  # noqa: F401
+
+        _tune_gc_for_parse()
 
         self._extract = extract_row
         self._thresholds = thresholds or None  # None = frozen defaults
