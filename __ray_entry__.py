@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_stats": R.events_type_stats,
         "filter_project_revenue": R.filter_project_revenue,
         "distinct_segments": R.distinct_segments,
+        "brand_part_revenue": R.brand_part_revenue,
+        "events_props_k_stats": R.events_props_k_stats,
         # events / windows / set ops / as-of
         "events_hourly": R.events_hourly,
         "events_sliding": R.events_sliding,
@@ -241,6 +243,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_revenue
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "brand_part_revenue": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "events_props_k_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(coalesce(nullif(regexp_extract(props, '"k": (\\d+)', 1), ''), '0') AS BIGINT)) AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events
+            GROUP BY event_type ORDER BY event_type
         """,
         "ranked_orders": """
             SELECT c_mktsegment, o_orderkey, o_totalprice,

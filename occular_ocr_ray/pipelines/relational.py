@@ -781,3 +781,53 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def brand_part_revenue(sf_dir: str) -> pd.DataFrame:
+    """lineitem ⋈ part grouped revenue by brand — the ``part`` dim via
+    the broadcast-lookup pattern (partkey → brand dict, ``ray.put``
+    once; at real scale ``part`` is the canonical medium dim — switch
+    to ``stages.joins.bucketed_hash_join`` when it outgrows a
+    broadcast, cf. ``orders_join_priority_bucketed``)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    ref = ray.put(dict(zip(part["p_partkey"].to_pylist(),
+                           part["p_brand"].to_pylist())))
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        df = df.assign(
+            p_brand=df["l_partkey"].map(lookup),
+            revenue=df["l_extendedprice"] * (1 - df["l_discount"]),
+            n_items=np.int64(1),
+        )
+        return df.groupby("p_brand", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum")
+        )
+
+    out = _partial_groupby(ds, ["p_brand"], partials,
+                           [("revenue", "f"), ("n_items", "i")]).to_pandas()
+    out["revenue"] = _round_away(out["revenue"], 2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def events_props_k_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured payload extraction (SURVEY §2.7 scalar-fn
+    family): pull the integer ``k`` field out of the JSON ``props``
+    column with a VECTORIZED regex (`pandas .str.extract`, compiled
+    once per batch — never a per-row ``json.loads`` loop), then grouped
+    sum/count.  The oracle uses DuckDB's core ``regexp_extract`` (no
+    extension dependency) over the same pattern."""
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].str.extract(r'"k": (\d+)', expand=False)
+        df = df.assign(k=pd.to_numeric(k, errors="coerce").fillna(0).astype("int64"),
+                       n_events=np.int64(1))
+        return df.groupby("event_type", as_index=False).agg(
+            sum_k=("k", "sum"), n_events=("n_events", "sum")
+        )
+
+    out = _partial_groupby(ds, ["event_type"], partials,
+                           [("sum_k", "i"), ("n_events", "i")]).to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
