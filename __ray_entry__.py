@@ -95,12 +95,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed ranking / grouped quantiles (round-3 additions)
         "ranked_orders": R.ranked_orders,
         "order_price_quantiles": R.order_price_quantiles,
+        "approx_price_quantiles": R.approx_price_quantiles,
         # documents / text scalar fns (SURVEY.md §2.7)
         "docs_lang_stats": R.docs_lang_stats,
         "token_counts": R.token_counts,
         "doc_chunks": R.doc_chunks,
         "doc_fingerprints": R.doc_fingerprints,
         "dedup_exact": R.dedup_exact,
+        "incremental_dedup": R.incremental_dedup_q,
         "tfidf_top_terms": R.tfidf_top_terms,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
@@ -257,6 +259,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events
             GROUP BY event_type ORDER BY event_type
+        """,
+        "incremental_dedup": """
+            SELECT DISTINCT md5(coalesce(text, '')) AS fp
+            FROM documents ORDER BY fp
         """,
         "ranked_orders": """
             SELECT c_mktsegment, o_orderkey, o_totalprice,
@@ -440,6 +446,7 @@ def oracle_sql() -> dict[str, str]:
                 "extract_pages": "url",
                 "corpus_pipeline": "url",
                 "approx_distinct_users": "event_type",
+                "approx_price_quantiles": "c_mktsegment",
             }.items()
         },
         "doc_chunks": """

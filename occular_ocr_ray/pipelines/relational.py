@@ -831,3 +831,66 @@ def events_props_k_stats(sf_dir: str) -> pd.DataFrame:
     out = _partial_groupby(ds, ["event_type"], partials,
                            [("sum_k", "i"), ("n_events", "i")]).to_pandas()
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def incremental_dedup_q(sf_dir: str) -> pd.DataFrame:
+    """Cross-run incremental dedup (state/incremental.py) as a driver
+    query: the documents table arrives as two shards (doc_id parity —
+    the streaming-ingest shape); the second shard drops everything the
+    first admitted.  Output = the sorted DISTINCT content fingerprints
+    of the survivors, which equals the distinct md5 set of the whole
+    table (the SQL oracle) regardless of WHICH duplicate row survived —
+    arrival order is deliberately outside the deterministic contract
+    (module docstring), the surviving content set is inside it."""
+    import hashlib
+
+    from ..state.incremental import IncrementalDeduper
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(keep_even: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            mask = (ids % 2 == 0) if keep_even else (ids % 2 == 1)
+            return b.filter(pa.array(mask))
+
+        return f
+
+    dd = IncrementalDeduper(num_shards=4, text_col="text")
+    try:
+        day1 = dd.dedup(ds.map_batches(parity(True), batch_format="pyarrow"))
+        day2 = dd.dedup(ds.map_batches(parity(False), batch_format="pyarrow"))
+        survivors = day1.union(day2)
+
+        def fp(b: pa.Table) -> pa.Table:
+            out = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                   for t in b["text"].to_pylist()]
+            return pa.table({"fp": pa.array(out, pa.string())})
+
+        out = survivors.map_batches(fp, batch_format="pyarrow").to_pandas()
+    finally:
+        dd.shutdown()
+    return out.sort_values("fp").reset_index(drop=True)
+
+
+def approx_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Sketch counterpart of ``order_price_quantiles``: mergeable
+    log-bucket histogram (stages/sketch_agg.approx_quantiles) — the
+    shape that survives 10^12-row groups where the exact operator's
+    per-group sort cannot.  Deterministic AND parallelism-invariant
+    (exact integer bucket counts), hence pinned-oracle-able; accuracy
+    vs the exact quantiles is asserted in tests (≤ ~1% relative)."""
+    from ..stages.sketch_agg import approx_quantiles
+
+    ref = _broadcast_custseg(sf_dir)
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        return pd.DataFrame(
+            {"c_mktsegment": df["o_custkey"].map(lookup),
+             "o_totalprice": df["o_totalprice"]}
+        )
+
+    projected = ds.map_batches(project, batch_format="pandas")
+    return approx_quantiles(projected, "c_mktsegment", "o_totalprice")

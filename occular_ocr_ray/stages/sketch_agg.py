@@ -71,3 +71,80 @@ def approx_distinct(
         .to_pandas()
     )
     return out.sort_values(key_col).reset_index(drop=True)
+
+
+# --- mergeable log-bucket histogram quantiles --------------------------
+_GAMMA = 1.01
+_LOG_GAMMA = float(np.log(_GAMMA))
+_UNDERFLOW = np.iinfo(np.int64).min // 2  # bucket for values <= 0
+
+
+def approx_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+    *,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Per-key approximate quantiles via a mergeable log-bucket
+    histogram (HDR-histogram family): bucket = floor(ln(v)/ln(1.01)),
+    value estimate = bucket midpoint → ≤ ~0.5% relative error for any
+    positive value range in ~1.3k buckets per decade-span key.
+
+    Scale shape mirrors ``approx_distinct``: each batch emits
+    PRE-AGGREGATED (key, bucket, count) rows — the shuffle moves
+    O(#occupied buckets) rows per (batch, key), never the values — and
+    one key-grouped merge selects quantile buckets from the cumulative
+    counts.  Counts are exact integer sums, so unlike sampling sketches
+    the result is parallelism- AND partitioning-invariant (same
+    determinism class as the HLL path).  This is the documented 100-TB
+    alternative to ``relational.order_price_quantiles``'s exact
+    per-group sort.  Values ≤ 0 collapse into one underflow bucket
+    estimated as 0.0 (prices/latencies — the intended domain — are
+    positive).  Rank convention matches the exact operator:
+    idx = ceil(q·n) − 1."""
+    import math
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(dtype=np.float64)
+        b = np.full(len(v), _UNDERFLOW, dtype=np.int64)
+        pos = v > 0
+        b[pos] = np.floor(np.log(v[pos]) / _LOG_GAMMA).astype(np.int64)
+        out = pd.DataFrame(
+            {key_col: df[key_col].to_numpy(), "bucket": b,
+             "count": np.ones(len(v), dtype=np.int64)}
+        )
+        return out.groupby([key_col, "bucket"], as_index=False).agg(
+            count=("count", "sum")
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        m = (
+            g.groupby("bucket", as_index=False)
+            .agg(count=("count", "sum"))
+            .sort_values("bucket")
+        )
+        buckets = m["bucket"].to_numpy()
+        cum = m["count"].to_numpy().cumsum()
+        n = int(cum[-1])
+        row: dict = {key_col: [g[key_col].iloc[0]],
+                     "n_rows": np.array([n], dtype=np.int64)}
+        for q in qs:
+            idx = min(n - 1, max(0, math.ceil(q * n) - 1))
+            j = int(np.searchsorted(cum, idx + 1))
+            bk = int(buckets[j])
+            est = (
+                0.0 if bk == _UNDERFLOW
+                else (math.pow(_GAMMA, bk) + math.pow(_GAMMA, bk + 1)) / 2.0
+            )
+            row[f"p{int(round(q * 100))}"] = [est]
+        return pd.DataFrame(row)
+
+    out = (
+        ds.map_batches(partials, batch_format="pandas", batch_size=batch_size)
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -46,6 +46,9 @@ PINNED = [
     # partition-invariant, so the approximate result is exactly
     # reproducible and safe to pin (pytest bounds its error vs exact).
     "approx_distinct_users",
+    # log-bucket histogram quantiles: exact integer bucket counts →
+    # parallelism-invariant; pinned, error-vs-exact bounded in pytest.
+    "approx_price_quantiles",
 ]
 
 

@@ -81,3 +81,71 @@ def test_extract_total_on_poison_rows(html, text):
     assert out["bytes_emitted"] == len(out["extracted_text"].encode("utf-8"))
     for s in out["spans"]:
         assert 0 <= s["start"] <= s["end"] <= len(out["extracted_text"])
+
+
+def _warc_record(rtype: str, uri: str, date: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+    ).encode()
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_payload(body: bytes) -> bytes:
+    return (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+
+
+def test_read_pages_warc(tmp_path):
+    """WARC ingestion: response records become pages rows (request/
+    warcinfo skipped, HTTP head stripped, WARC-Date parsed), both plain
+    and per-member-gzipped (the Common Crawl layout); rows flow through
+    extraction unmodified."""
+    import gzip
+
+    from occular_ocr_ray.sources.warc import read_pages_warc
+    from occular_ocr_ray.stages.extractor import extract_batch
+
+    body1 = b"<html><body><p>" + b"warc article text one " * 12 + b"</p></body></html>"
+    body2 = b"<html><body><p>" + b"second warc doc body " * 12 + b"</p></body></html>"
+    raw = (
+        _warc_record("warcinfo", "none", "2017-03-22T17:00:00Z", b"software: test")
+        + _warc_record("request", "https://w.example/a", "2017-03-22T17:00:01Z",
+                       b"GET /a HTTP/1.1\r\n\r\n")
+        + _warc_record("response", "https://w.example/a", "2017-03-22T17:00:01Z",
+                       _http_payload(body1))
+        + _warc_record("response", "https://w.example/b", "2017-03-22T17:00:02Z",
+                       _http_payload(body2))
+    )
+    (tmp_path / "plain.warc").write_bytes(raw)
+    # member-per-record gzip (Common Crawl layout) with distinct urls
+    gz = b"".join(
+        gzip.compress(
+            _warc_record("response", f"https://gz.example/{i}",
+                         "2017-03-22T18:00:00Z", _http_payload(body1))
+        )
+        for i in range(2)
+    )
+    (tmp_path / "cc.warc.gz").write_bytes(gz)
+
+    ds = read_pages_warc([str(tmp_path / "plain.warc"), str(tmp_path / "cc.warc.gz")])
+    df = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(df["url"]) == [
+        "https://gz.example/0", "https://gz.example/1",
+        "https://w.example/a", "https://w.example/b",
+    ]
+    assert df["html"].iloc[2] == body1  # HTTP head stripped, body exact
+    assert str(df["warc_ts"].iloc[2]) == "2017-03-22 17:00:01"
+    # truncated/garbage tail must not raise (total parser)
+    (tmp_path / "bad.warc").write_bytes(raw[: len(raw) // 2] + b"\x00garbage")
+    assert read_pages_warc([str(tmp_path / "bad.warc")]).count() >= 0
+
+    import pyarrow as pa_
+
+    batch = pa_.Table.from_pandas(df[["url", "html", "text"]])
+    out = extract_batch(batch)
+    assert out.num_rows == 4 and all(
+        len(t) > 0 for t in out["extracted_text"].to_pylist()
+    )

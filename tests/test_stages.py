@@ -737,3 +737,40 @@ def test_cc_bucket_width_tracks_cluster(ray_session):
     labels = connected_component_labels(
         ids_ds, pairs, num_buckets=4).to_pandas()
     assert dict(zip(labels["doc_id"], labels["label"])) == {1: 1, 2: 1, 3: 3}
+
+
+def test_approx_quantiles_accuracy_and_invariance():
+    """Log-bucket histogram quantiles: within the bucket's ~1% relative
+    error of the exact discrete quantiles, and invariant to input
+    partitioning (exact integer bucket counts — no sampling)."""
+    import math
+
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.sketch_agg import approx_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = np.exp(rng.standard_normal(4000) * 0.8 + 5.0)  # lognormal prices
+    keys = np.array(["a", "b"])[rng.randint(0, 2, size=4000)]
+    tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+
+    out1 = approx_quantiles(rd.from_arrow(tbl), "k", "v")
+    out32 = approx_quantiles(rd.from_arrow(tbl).repartition(32), "k", "v")
+    pd.testing.assert_frame_equal(
+        out1.reset_index(drop=True), out32.reset_index(drop=True)
+    )  # partitioning-invariant
+
+    for key in ("a", "b"):
+        v = np.sort(vals[keys == key])
+        n = len(v)
+        row = out1[out1["k"] == key].iloc[0]
+        assert row["n_rows"] == n
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90")):
+            exact = v[max(0, math.ceil(q * n) - 1)]
+            assert abs(row[col] - exact) / exact < 0.011  # ≤ bucket width
+
+    # values <= 0 collapse into the underflow bucket, estimated 0.0
+    t2 = pa.table({"k": pa.array(["z"] * 4),
+                   "v": pa.array([-1.0, 0.0, 0.0, -5.0])})
+    z = approx_quantiles(rd.from_arrow(t2), "k", "v")
+    assert float(z["p50"].iloc[0]) == 0.0
