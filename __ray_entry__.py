@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project_revenue": R.filter_project_revenue,
         "distinct_segments": R.distinct_segments,
         "brand_part_revenue": R.brand_part_revenue,
+        "customers_without_urgent_orders": R.customers_without_urgent_orders,
+        "part_order_counts": R.part_order_counts,
+        "cumulative_order_revenue": R.cumulative_order_revenue,
         "events_props_k_stats": R.events_props_k_stats,
         # events / windows / set ops / as-of
         "events_hourly": R.events_hourly,
@@ -263,6 +266,27 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": """
             SELECT DISTINCT md5(coalesce(text, '')) AS fp
             FROM documents ORDER BY fp
+        """,
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey
+        """,
+        "part_order_counts": """
+            SELECT p_partkey, p_brand,
+                   CAST(count(l_orderkey) AS BIGINT) AS n_lineitems
+            FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
+            GROUP BY p_partkey, p_brand ORDER BY p_partkey
+        """,
+        "cumulative_order_revenue": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+            FROM orders ORDER BY o_custkey, o_orderkey
         """,
         "ranked_orders": """
             SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -894,3 +894,68 @@ def approx_price_quantiles(sf_dir: str) -> pd.DataFrame:
 
     projected = ds.map_batches(project, batch_format="pandas")
     return approx_quantiles(projected, "c_mktsegment", "o_totalprice")
+
+
+def customers_without_urgent_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed anti-semi-join with a SEMANTIC oracle (NOT EXISTS):
+    customers that never placed a 1-URGENT order —
+    ``dedup.anti_join_ids`` reused relationally on a filtered right
+    side.  Both sides bucket-shuffle once on the key hash; nothing is
+    collected or broadcast (the dup-heavy-dedup code path, here
+    oracle-checked against SQL rather than cross-strategy).  Non-empty
+    at every tier (≈7% of customers), so the check is never vacuous."""
+    from ..stages.dedup import anti_join_ids
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    urgent = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    out = anti_join_ids(cust, urgent, id_col="c_custkey",
+                        drop_col="o_custkey").to_pandas()
+    if "c_custkey" not in out.columns:  # all-empty groups → schemaless
+        out = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                            "c_mktsegment": pd.Series(dtype="object")})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def part_order_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT OUTER join via the explicit bucketed hash join: every part
+    with its lineitem count, zero for never-ordered parts (the rows an
+    inner join silently drops).  count(l_orderkey) counts non-null
+    matches only — the null-padded outer rows contribute 0."""
+    from ..stages.joins import bucketed_hash_join
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_orderkey"])
+    joined = bucketed_hash_join(part, li, left_on="p_partkey",
+                                right_on="l_partkey", join_type="left outer")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_lineitems=df["l_orderkey"].notna().astype("int64"))
+        return df.groupby(["p_partkey", "p_brand"], as_index=False).agg(
+            n_lineitems=("n_lineitems", "sum")
+        )
+
+    out = _partial_groupby(joined, ["p_partkey", "p_brand"], partials,
+                           [("n_lineitems", "i")]).to_pandas()
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def cumulative_order_revenue(sf_dir: str) -> pd.DataFrame:
+    """Per-key ordered running sum — SUM() OVER (PARTITION BY custkey
+    ORDER BY orderdate, orderkey ROWS UNBOUNDED PRECEDING) — via
+    ``groupby(custkey).map_groups`` sort + cumsum.  Summation order is
+    pinned by the (date, key) sort on both sides, so the floats agree
+    bit-for-bit before the 2-decimal rounding."""
+    ds = _t(sf_dir, "orders",
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        g = g.assign(cum_revenue=_round_away(g["o_totalprice"].cumsum(), 2))
+        return g[["o_custkey", "o_orderkey", "cum_revenue"]]
+
+    out = ds.groupby("o_custkey").map_groups(run, batch_format="pandas").to_pandas()
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)

@@ -107,10 +107,16 @@ def bucketed_hash_join(
     left_on: str,
     right_on: str,
     num_buckets: int | None = None,
+    join_type: str = "inner",
 ):
-    """Inner join left ⋈ right on integer keys.  Returns a Dataset with
-    left's columns + right's non-key columns (suffix "_r" on name
-    collisions; the key column is coalesced under ``left_on``)."""
+    """Join left ⋈ right on integer keys (``join_type``: "inner" or
+    "left outer").  Returns a Dataset with left's columns + right's
+    non-key columns (suffix "_r" on name collisions; the key column is
+    coalesced under ``left_on``).  Left-outer rows with no match carry
+    nulls in the right columns — the same bucket exchange serves both
+    types, since a left row's match can only live in its own bucket."""
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
     if num_buckets is None:
         num_buckets = _default_num_buckets()
     tagged, lschema, rschema = _tagged_bucket_union(
@@ -136,11 +142,19 @@ def bucketed_hash_join(
         # must survive as nulls, not vanish)
         lg = g.filter(lmask).select(lnames)
         rg = g.filter(pc.invert(lmask)).select(rnames)
-        if lg.num_rows == 0 or rg.num_rows == 0:
+        if lg.num_rows == 0:
             return out_schema.empty_table()
+        if rg.num_rows == 0:
+            if join_type == "inner":
+                return out_schema.empty_table()
+            for name in out_schema.names[len(lnames):]:  # null right cols
+                lg = lg.append_column(
+                    name, pa.nulls(lg.num_rows, out_schema.field(name).type)
+                )
+            return lg.select(out_schema.names).cast(out_schema)
         joined = lg.join(
             rg, keys=[left_on], right_keys=[right_on],
-            join_type="inner", right_suffix="_r",
+            join_type=join_type, right_suffix="_r",
         )
         return joined.select(out_schema.names).cast(out_schema)
 

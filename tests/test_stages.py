@@ -774,3 +774,35 @@ def test_approx_quantiles_accuracy_and_invariance():
                    "v": pa.array([-1.0, 0.0, 0.0, -5.0])})
     z = approx_quantiles(rd.from_arrow(t2), "k", "v")
     assert float(z["p50"].iloc[0]) == 0.0
+
+
+def test_bucketed_hash_join_left_outer():
+    """Explicit bucketed join: left-outer rows with no match carry
+    nulls (incl. the all-empty-right-bucket fast path), inner drops
+    them; int64 keys ≥ 2^53 survive exactly (the r2 pandas-coercion
+    regression class)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import bucketed_hash_join
+
+    big = (1 << 60) + 7  # would corrupt under float64 coercion
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, big], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"], pa.string()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, big], pa.int64()),
+        "rv": pa.array([20, 99], pa.int64()),
+    }))
+    outer = bucketed_hash_join(left, right, left_on="k", right_on="k",
+                               num_buckets=4, join_type="left outer"
+                               ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert outer["k"].tolist() == [1, 2, 3, big]
+    assert outer["rv"].tolist()[1] == 20 and outer["rv"].tolist()[3] == 99
+    assert outer["rv"].isna().tolist() == [True, False, True, False]
+    inner = bucketed_hash_join(left, right, left_on="k", right_on="k",
+                               num_buckets=4).to_pandas()
+    assert sorted(inner["k"]) == [2, big]
+    with pytest.raises(ValueError, match="join_type"):
+        bucketed_hash_join(left, right, left_on="k", right_on="k",
+                           join_type="full outer")
