@@ -127,6 +127,9 @@ def run_bench() -> dict:
         "token_counts": R.token_counts,
         "minhash_pairs": R.minhash_pairs_q,
         "knn_bruteforce": R.knn_bruteforce_q,
+        "tfidf_top_terms": R.tfidf_top_terms,
+        "approx_price_quantiles": R.approx_price_quantiles,
+        "ranked_orders": R.ranked_orders,
     }
     for name, fn in qset.items():
         t0 = time.perf_counter()

@@ -316,6 +316,20 @@ def run_extraction(
     for idx, f in enumerate(files):
         waves.setdefault(_wave_of(idx, num_waves), []).append(f)
 
+    # output-affecting parameter identity: a completed wave may only be
+    # skipped if it was produced under the SAME extraction semantics and
+    # layout — resuming with e.g. a different --num-parts or extractor
+    # would silently mix output generations across waves (the same
+    # hazard class the corpus checkpoints' params-keyed markers close).
+    # json round-trip normalizes kwargs values to their manifest form.
+    out_params = json.loads(json.dumps({
+        "extractor": extractor,
+        "num_parts": num_parts,
+        "force_parse": force_parse,
+        "hive_partition": hive_partition,
+        "extractor_kwargs": extractor_kwargs or {},
+    }))
+
     summary = {"waves": {}, "totals": {"rows": 0, "bytes_emitted": 0, "blocks_kept": 0}}
     to_run: list[int] = []
     for k in sorted(waves):
@@ -323,6 +337,16 @@ def run_extraction(
         if resume and os.path.exists(man_path):
             with open(man_path) as fh:
                 man = json.load(fh)
+            if man.get("params") != out_params or man.get("files") != waves[k]:
+                raise ValueError(
+                    f"wave {k} manifest was produced under different "
+                    f"parameters or inputs than this run "
+                    f"(manifest: params={man.get('params')}, "
+                    f"{len(man.get('files', []))} files; "
+                    f"now: params={out_params}, {len(waves[k])} files) — "
+                    f"resuming would mix output generations; use a fresh "
+                    f"--output dir or --no-resume to recompute"
+                )
             summary["waves"][k] = {"status": "skipped", **man["totals"]}
         else:
             to_run.append(k)
@@ -339,6 +363,7 @@ def run_extraction(
                     giant_threshold=giant_threshold,
                     extractor_kwargs=extractor_kwargs,
                     pre_bucketed=pre_bucketed,
+                    out_params=out_params,
                 )
                 for k in to_run
             }
@@ -368,6 +393,7 @@ def _run_wave(
     giant_threshold: int | None = None,
     extractor_kwargs: dict | None = None,
     pre_bucketed: bool = False,
+    out_params: dict | None = None,
 ) -> dict:
     wave_dir = os.path.join(data_dir, f"wave={k}")
     if os.path.exists(wave_dir):  # partial output from a crashed run
@@ -425,6 +451,7 @@ def _run_wave(
         "wave": k,
         "files": files,
         "num_parts": num_parts,
+        "params": out_params,
         "per_part": per_part,
         "totals": totals,
         "rollup_digest": digest,

@@ -265,3 +265,27 @@ def test_giant_threshold_with_actor_pool(pages_dir, tmp_path):
                         batch_size=16, concurrency=2,
                         giant_threshold=1_000_000)
     assert a == b
+
+
+def test_resume_rejects_changed_params(pages_dir, tmp_path):
+    """A completed wave may only be skipped under the SAME
+    output-affecting parameters: resuming with a different num_parts /
+    extractor would silently mix output generations across waves."""
+    from occular_ocr_ray.pipelines.flagship import run_extraction
+
+    out = str(tmp_path / "o")
+    run_extraction(pages_dir, out, num_waves=2, num_parts=8)
+    # identical params → clean resume (all waves skipped)
+    s = run_extraction(pages_dir, out, num_waves=2, num_parts=8)
+    assert all(w["status"] == "skipped" for w in s["waves"].values())
+    for kwargs in (
+        {"num_parts": 16},
+        {"num_parts": 8, "extractor": "lenient"},
+        {"num_parts": 8, "force_parse": True},
+        {"num_parts": 8, "extractor_kwargs": {"keep_thresh": 0.3}},
+    ):
+        with pytest.raises(ValueError, match="mix output generations"):
+            run_extraction(pages_dir, out, num_waves=2, **kwargs)
+    # --no-resume recomputes under the new params instead of raising
+    s2 = run_extraction(pages_dir, out, num_waves=2, num_parts=16, resume=False)
+    assert all(w["status"] == "ran" for w in s2["waves"].values())
