@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "views_near_clicks": R.views_near_clicks,
         "events_union": R.events_union,
         "sample_hash": R.sample_hash,
+        "sampled_docs_per_lang": R.sampled_docs_per_lang,
         # windowed ranking / grouped quantiles (round-3 additions)
         "ranked_orders": R.ranked_orders,
         "order_price_quantiles": R.order_price_quantiles,
@@ -287,6 +288,16 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_orderdate, o_orderkey
                        ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
             FROM orders ORDER BY o_custkey, o_orderkey
+        """,
+        "sampled_docs_per_lang": """
+            SELECT lang, doc_id, rnk FROM (
+              SELECT lang, doc_id,
+                     CAST(ROW_NUMBER() OVER (
+                         PARTITION BY lang
+                         ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296,
+                                  doc_id) AS BIGINT) AS rnk
+              FROM documents)
+            WHERE rnk <= 3 ORDER BY lang, rnk
         """,
         "ranked_orders": """
             SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -959,3 +959,38 @@ def cumulative_order_revenue(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("o_custkey").map_groups(run, batch_format="pandas").to_pandas()
     return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def sampled_docs_per_lang(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-group fixed-size sample: 3 docs per language,
+    chosen by Knuth-multiplicative-hash order of doc_id — the grouped
+    analog of ``sample_hash`` and the right primitive for bounded
+    per-stratum eval sets at corpus scale (parallelism- and
+    partitioning-invariant, unlike seeded random sampling).
+
+    Scale shape: per-group top-k is MERGEABLE — each batch keeps only
+    its own top-3 per lang map-side, so the shuffle moves ≤ 3·|langs|
+    rows per batch, never the corpus."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    K, M = np.uint64(2654435761), np.uint64(1 << 32)
+
+    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        h = ((df["doc_id"].to_numpy(dtype=np.uint64) % M) * K) % M
+        out = pd.DataFrame({"lang": df["lang"], "doc_id": df["doc_id"],
+                            "h": h.astype(np.int64)})
+        return (out.sort_values(["h", "doc_id"], kind="mergesort")
+                   .groupby("lang", as_index=False).head(3))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort").head(3)
+        g = g.reset_index(drop=True)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["lang", "doc_id", "rnk"]]
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "rnk"]).reset_index(drop=True)

@@ -34,24 +34,81 @@ def encode_fake_media(kind: int, w: int, h: int, n_frames: int, payload: bytes) 
     return FAKE_MAGIC + _HEADER.pack(kind, w, h, n_frames) + payload
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (baseline,
+# progressive, lossless, arithmetic variants)
+_JPEG_SOF = frozenset(
+    {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+)
+
+
+def parse_image_dimensions(raw: bytes) -> tuple[int, int] | None:
+    """REAL image-header metadata, stdlib-only: (width, height) for
+    PNG / GIF / JPEG payloads, None otherwise.  Header parsing — not
+    pixel decoding — is the common 100-TB filtering op (drop tiny
+    images/thumbnails before any expensive stage), and it needs no
+    codec library: PNG IHDR is 8 bytes past the signature (big-endian
+    u32 pair), GIF's logical screen descriptor is little-endian u16 at
+    offset 6, JPEG requires a marker-segment walk to the first SOFn."""
+    if raw.startswith(_PNG_SIG) and len(raw) >= 24 and raw[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", raw[16:24])
+        return int(w), int(h)
+    if raw[:6] in (b"GIF87a", b"GIF89a") and len(raw) >= 10:
+        w, h = struct.unpack("<HH", raw[6:10])
+        return int(w), int(h)
+    if raw.startswith(b"\xff\xd8"):
+        i, n = 2, len(raw)
+        while i + 9 < n:
+            if raw[i] != 0xFF:
+                break
+            marker = raw[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", raw[i + 5:i + 9])
+                return int(w), int(h)
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # bare markers
+                i += 2
+                continue
+            seg = int.from_bytes(raw[i + 2:i + 4], "big")
+            if seg < 2:
+                break
+            i += 2 + seg
+    return None
+
+
 def decode_media(raw: bytes) -> dict:
-    """Decode one media payload.  Fake container → metadata dict; any
-    real codec bytes → NotImplementedError (stub boundary)."""
-    if raw is None or not raw.startswith(FAKE_MAGIC):
-        raise NotImplementedError(
-            "real image/audio/video codecs are not available in this "
-            "environment; only the FAKEMM1 deterministic container is supported"
-        )
-    kind, w, h, n_frames = _HEADER.unpack_from(raw, len(FAKE_MAGIC))
-    payload = raw[len(FAKE_MAGIC) + _HEADER.size:]
-    return {
-        "kind": int(kind),
-        "width": int(w),
-        "height": int(h),
-        "n_frames": int(n_frames),
-        "n_bytes": len(payload),
-        "checksum": hashlib.blake2b(payload, digest_size=8).hexdigest(),
-    }
+    """Decode one media payload's metadata.  Fake container → full
+    metadata; REAL PNG/GIF/JPEG headers → genuine dimensions (stdlib
+    parse, no codec needed); anything else → NotImplementedError (the
+    honest pixel-decode boundary: PIL/cv2/ffmpeg are not in this
+    environment)."""
+    if raw is None:
+        raise NotImplementedError("null payload")
+    if raw.startswith(FAKE_MAGIC):
+        kind, w, h, n_frames = _HEADER.unpack_from(raw, len(FAKE_MAGIC))
+        payload = raw[len(FAKE_MAGIC) + _HEADER.size:]
+        return {
+            "kind": int(kind),
+            "width": int(w),
+            "height": int(h),
+            "n_frames": int(n_frames),
+            "n_bytes": len(payload),
+            "checksum": hashlib.blake2b(payload, digest_size=8).hexdigest(),
+        }
+    dims = parse_image_dimensions(raw)
+    if dims is not None:
+        return {
+            "kind": 0,
+            "width": dims[0],
+            "height": dims[1],
+            "n_frames": 1,
+            "n_bytes": len(raw),
+            "checksum": hashlib.blake2b(raw, digest_size=8).hexdigest(),
+        }
+    raise NotImplementedError(
+        "pixel decoding requires codec libraries (PIL/cv2/ffmpeg) not "
+        "available in this environment; supported here: FAKEMM1 container "
+        "+ real PNG/GIF/JPEG header metadata"
+    )
 
 
 class MediaDecode:

@@ -806,3 +806,43 @@ def test_bucketed_hash_join_left_outer():
     with pytest.raises(ValueError, match="join_type"):
         bucketed_hash_join(left, right, left_on="k", right_on="k",
                            join_type="full outer")
+
+
+def test_real_image_header_metadata():
+    """PNG/GIF/JPEG dimensions parse from real headers (stdlib, no
+    codec); truncated/garbage payloads stay behind the honest
+    NotImplementedError boundary (→ nulls under strict=False)."""
+    import struct as st
+
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.multimodal import (
+        MediaDecode, decode_media, parse_image_dimensions,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR"
+           + st.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"crc0")
+    gif = b"GIF89a" + st.pack("<HH", 320, 200) + b"\x00" * 6
+    jpeg = (b"\xff\xd8"                                   # SOI
+            + b"\xff\xe0" + st.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9  # APP0
+            + b"\xff\xc0" + st.pack(">H", 17) + b"\x08"   # SOF0, precision
+            + st.pack(">HH", 1080, 1920) + b"\x03" + b"\x00" * 9)
+    assert parse_image_dimensions(png) == (640, 480)
+    assert parse_image_dimensions(gif) == (320, 200)
+    assert parse_image_dimensions(jpeg) == (1920, 1080)
+    assert parse_image_dimensions(b"\x89PNG\r\n\x1a\nshort") is None
+    assert parse_image_dimensions(b"not an image") is None
+
+    meta = decode_media(png)
+    assert (meta["kind"], meta["width"], meta["height"], meta["n_frames"]) == (0, 640, 480, 1)
+    with pytest.raises(NotImplementedError):
+        decode_media(b"RIFF....WEBP")  # unsupported container
+
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "media": pa.array([png, b"garbage", jpeg], pa.binary()),
+    }))
+    out = ds.map_batches(MediaDecode(), batch_format="pyarrow").to_pandas()
+    out = out.sort_values("media_id")
+    assert out["width"].tolist()[0] == 640 and out["width"].tolist()[2] == 1920
+    assert pd.isna(out["width"].tolist()[1])  # poison-pill → nulls
