@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed ranking / grouped quantiles (round-3 additions)
         "ranked_orders": R.ranked_orders,
         "order_price_quantiles": R.order_price_quantiles,
+        "segment_priority_list": R.segment_priority_list,
         "approx_price_quantiles": R.approx_price_quantiles,
         # documents / text scalar fns (SURVEY.md §2.7)
         "docs_lang_stats": R.docs_lang_stats,
@@ -298,6 +299,12 @@ def oracle_sql() -> dict[str, str]:
                                   doc_id) AS BIGINT) AS rnk
               FROM documents)
             WHERE rnk <= 3 ORDER BY lang, rnk
+        """,
+        "segment_priority_list": """
+            SELECT c_mktsegment,
+                   string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "ranked_orders": """
             SELECT c_mktsegment, o_orderkey, o_totalprice,

@@ -994,3 +994,36 @@ def sampled_docs_per_lang(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["lang", "rnk"]).reset_index(drop=True)
+
+
+def segment_priority_list(sf_dir: str) -> pd.DataFrame:
+    """Grouped string aggregation (LISTAGG family): the sorted distinct
+    order priorities seen per customer segment, comma-joined.  Scale
+    shape: map-side DISTINCT pairs per batch (the shuffle moves bounded
+    (segment, priority) pairs — |priorities| ≤ 5 — never the orders),
+    then a tiny per-group sort+join.  Unbounded-cardinality LISTAGG is
+    an anti-pattern at 10^12 rows; this is the bounded-domain form that
+    scales."""
+    ref = _broadcast_custseg(sf_dir)
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out = pd.DataFrame(
+            {"c_mktsegment": df["o_custkey"].map(lookup),
+             "o_orderpriority": df["o_orderpriority"]}
+        )
+        return out.drop_duplicates()
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        vals = sorted(g["o_orderpriority"].unique())
+        return pd.DataFrame({"c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                             "priorities": [",".join(vals)]})
+
+    out = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .map_groups(agg, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)

@@ -583,3 +583,23 @@ def embedding_neardup_pairs(
         _coarse_group_fn(["key"], one_bucket), batch_format="pandas"
     )
     return _dedupe_pairs(pairs)
+
+
+def url_dedup_ids(ds, id_col: str = "doc_id", url_col: str = "url"):
+    """Canonical-URL dedup: min(id) per ``canonical_url(url)`` — the
+    crawl-side complement of content dedup (catches utm/fragment/port
+    variants of one page even when the body carries per-request noise).
+    Same scale shape as ``exact_dedup_ids``: the canonical key is
+    computed map-side and only (id, key) pairs shuffle."""
+    from ..functions.urltools import canonical_url
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [canonical_url(u) for u in batch[url_col].to_pylist()]
+        return pa.table({id_col: batch[id_col], "curl": pa.array(keys, pa.string())})
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("curl")
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
+    )

@@ -846,3 +846,35 @@ def test_real_image_header_metadata():
     out = out.sort_values("media_id")
     assert out["width"].tolist()[0] == 640 and out["width"].tolist()[2] == 1920
     assert pd.isna(out["width"].tolist()[1])  # poison-pill → nulls
+
+
+def test_canonical_url_and_dedup():
+    """URL canonicalization rules + the grouped dedup built on them."""
+    import ray.data as rd
+
+    from occular_ocr_ray.functions.urltools import canonical_url
+    from occular_ocr_ray.stages.dedup import url_dedup_ids
+
+    assert canonical_url("HTTP://Example.COM:80/a?utm_source=x&q=1#frag") == \
+        "http://example.com/a?q=1"
+    assert canonical_url("https://h.example:443/") == "https://h.example/"
+    assert canonical_url("https://h.example:8443/x") == "https://h.example:8443/x"
+    assert canonical_url("http://h.example") == "http://h.example/"
+    assert canonical_url("http://h/p?b=2&a=1") == "http://h/p?b=2&a=1"  # order kept
+    assert canonical_url("http://h/p?gclid=z&a=") == "http://h/p?a="
+    assert canonical_url("http://h/CasePath") == "http://h/CasePath"  # not folded
+    assert canonical_url(None) == "" and canonical_url("") == ""
+    assert canonical_url("http://[bad") == "http://[bad"  # unparseable → as-is
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "url": pa.array([
+            "http://a.example/x",
+            "HTTP://A.EXAMPLE:80/x#sec",          # dup of 1
+            "http://a.example/x?utm_campaign=c",  # dup of 1
+            "http://a.example/y",
+            "http://b.example/x",
+        ], pa.string()),
+    }))
+    keep = sorted(url_dedup_ids(ds).to_pandas()["doc_id"])
+    assert keep == [1, 4, 5]
