@@ -37,9 +37,12 @@ one giant cannot hold dozens of rows hostage, and (b) opt-in
 ``giant_threshold`` routing — rows whose html payload exceeds the
 threshold take a sibling ``batch_size=1`` stage (same pure kernel, so
 outputs and per-part rollups are unchanged), which caps the straggler
-tail at one document per task.  The routing reads the (pruned) input
-once per branch; at petabyte scale prefer pre-bucketing inputs by
-payload size at ingest and feeding each bucket its own wave set.
+tail at one document per task.  The in-flight routing reads the
+(pruned) input once per branch; at petabyte scale use the implemented
+single-scan alternative instead — ``ingest.bucket_pages_by_size`` at
+ingest + ``run_extraction(pre_bucketed=True)`` (CLI
+``--bucket-by-size``), which gives each branch its own file set so
+every input byte is read exactly once.
 """
 
 from __future__ import annotations
