@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": R.distinct_segments,
         "brand_part_revenue": R.brand_part_revenue,
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
+        "urgent_lineitems_bloom": R.urgent_lineitems_bloom,
         "part_order_counts": R.part_order_counts,
         "cumulative_order_revenue": R.cumulative_order_revenue,
         "events_props_k_stats": R.events_props_k_stats,
@@ -250,6 +251,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS total_revenue
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "urgent_lineitems_bloom": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "brand_part_revenue": """
             SELECT p_brand,

@@ -1027,3 +1027,35 @@ def segment_priority_list(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def urgent_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
+    """Bloom-accelerated exact semi-join (EXISTS): revenue of lineitems
+    whose order is 1-URGENT, by returnflag.  The bloom over urgent
+    orderkeys is built distributedly and broadcast once (512 KiB fixed,
+    independent of key count); the lineitem side is prefiltered
+    map-side so the single bucket exchange moves ~matches + FPR·|left|
+    rows instead of the whole fact table; per-bucket ``pc.is_in``
+    removes bloom false positives — result is exact."""
+    from ..stages.bloom import bloom_semi_join
+
+    urgent = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    matched = bloom_semi_join(li, urgent, left_on="l_orderkey",
+                              right_on="o_orderkey")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]),
+                       n_items=np.int64(1))
+        return df.groupby("l_returnflag", as_index=False).agg(
+            n_items=("n_items", "sum"), revenue=("revenue", "sum"))
+
+    out = _partial_groupby(matched, ["l_returnflag"], partials,
+                           [("n_items", "i"), ("revenue", "f")]).to_pandas()
+    out["revenue"] = _round_away(out["revenue"], 2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)

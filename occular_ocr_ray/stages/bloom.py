@@ -1,0 +1,171 @@
+"""Distributed Bloom filter + bloom-accelerated exact semi-join.
+
+The 100-TB semi-join pattern: when the right side's KEY SET is far
+smaller than the left fact table but too large (or too wasteful) to
+broadcast exactly, build a fixed-size Bloom filter over the right keys
+once, broadcast the bitmap (``ray.put``), prefilter the left side
+map-side — dropping ~all non-matching rows before any exchange — and
+run the exact bucketed semi-join only on the survivors.  The shuffle
+then moves ``matches + FPR·|left|`` rows instead of ``|left|``.
+
+Design notes (scale):
+
+- **Build is map-side partial bitmaps.** Each input block sets its
+  keys' bits in a private bitmap and emits one packed row; the driver
+  OR-folds the partials STREAMING (one accumulator, ``iter_batches``)
+  — at no point do all partials coexist in memory.  At very large
+  block counts, fold in a tree of ``map_batches`` stages instead; the
+  accumulator shape is identical (documented, not silent).
+- **Bitmap is O(num_bits), independent of key count** — the broadcast
+  cost is fixed by the FPR budget, not by the data.  Default 2^22 bits
+  (512 KiB) ≈ 0.6% FPR at 300k keys / k=4.
+- **Hashing is vectorized double hashing** (Kirsch-Mitzenmacher: the k
+  probe positions are h1 + i·h2, one multiply-shift pair per key —
+  numpy uint64 arithmetic wraps mod 2^64, which is the intended ring).
+  Constants are fixed → the filter is deterministic and mergeable.
+- **No false negatives ever; false positives are removed by the exact
+  per-bucket ``pc.is_in`` check** — results are exact, the bloom is
+  purely a shuffle-volume optimization.
+
+Reference analog: the reference broadcasts its char alphabet to every
+recognizer worker once (``ocr_skel/recognizer.py:30``); same
+build-once/read-everywhere shape, here for membership pre-filtering.
+Bloom construction follows Bloom (CACM 1970) + Kirsch-Mitzenmacher
+(ESA 2006) double hashing; public-literature algorithms only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .joins import _default_num_buckets, _tagged_bucket_union
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (Steele/Lea/Flood, public domain) — full
+    avalanche so the LOW bits (which ``% num_bits`` keeps) are as good
+    as the high ones.  A bare ``k * C % m`` leaves structured low bits
+    and measurably inflates the FPR."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _probe_positions(keys: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(len(keys) × num_hashes) bit positions via double hashing
+    (Kirsch-Mitzenmacher).  uint64 wraparound is intentional
+    (mod-2^64 ring)."""
+    k = keys.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        h1 = _mix64(k)
+        h2 = _mix64(k ^ np.uint64(0xC2B2AE3D27D4EB4F)) | np.uint64(1)
+        i = np.arange(num_hashes, dtype=np.uint64)
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(num_bits)
+    return pos
+
+
+@dataclass(frozen=True)
+class BloomFilter:
+    """Immutable packed bitmap (uint64 words) + hash parameters."""
+
+    bits: np.ndarray  # uint64[num_bits // 64]
+    num_bits: int
+    num_hashes: int
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership test → bool mask (no false negatives)."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = _probe_positions(np.asarray(keys), self.num_bits, self.num_hashes)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        return ((self.bits[word] & bit) != 0).all(axis=1)
+
+
+def build_bloom(ds, col: str, *, num_bits: int = 1 << 22,
+                num_hashes: int = 4) -> BloomFilter:
+    """Build a Bloom filter over an int64 key column of a Dataset.
+
+    Map-side: each block emits ONE row carrying its partial bitmap
+    (packed bytes).  Driver-side: partials are OR-folded streaming into
+    a single accumulator — memory is one bitmap regardless of input
+    size.  ``num_bits`` must be a multiple of 64.
+    """
+    if num_bits % 64:
+        raise ValueError("num_bits must be a multiple of 64")
+    nwords = num_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = np.zeros(nwords, dtype=np.uint64)
+        keys = batch[col].to_numpy(zero_copy_only=False)
+        if len(keys):
+            pos = _probe_positions(keys, num_bits, num_hashes).ravel()
+            np.bitwise_or.at(arr, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([arr.tobytes()], pa.binary())})
+
+    acc = np.zeros(nwords, dtype=np.uint64)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for buf in b["bits"]:
+            acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+    return BloomFilter(bits=acc, num_bits=num_bits, num_hashes=num_hashes)
+
+
+def bloom_semi_join(left, right, *, left_on: str, right_on: str,
+                    num_bits: int = 1 << 22, num_hashes: int = 4,
+                    num_buckets: int | None = None):
+    """EXACT semi-join: left rows whose key appears in right's key set.
+
+    Three stages: (1) build + ``ray.put`` the bloom over right's keys;
+    (2) map-side prefilter of left (vectorized ``contains`` — this is
+    where ~all non-matching volume dies, before any shuffle); (3) exact
+    bucketed semi-join of the survivors against right's distinct keys
+    (one groupby exchange, ``pc.is_in`` per bucket) to strip bloom
+    false positives.  Output: left's columns, exactly the EXISTS rows.
+    """
+    import ray
+
+    from .joins import _arrow_schema
+
+    if num_buckets is None:
+        num_buckets = _default_num_buckets()
+
+    keys_only = right.map_batches(
+        lambda b: b.select([right_on]), batch_format="pyarrow"
+    )
+    bloom_ref = ray.put(build_bloom(keys_only, right_on,
+                                    num_bits=num_bits, num_hashes=num_hashes))
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        bloom: BloomFilter = ray.get(bloom_ref)
+        mask = bloom.contains(batch[left_on].to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(mask))
+
+    candidates = left.map_batches(prefilter, batch_format="pyarrow")
+
+    # schemas passed a priori: prefilter preserves left's schema, and
+    # keys_only is a single column of left's key type — inference would
+    # execute a block and returns None on an all-empty right side
+    lschema = _arrow_schema(left)
+    rschema = pa.schema([(right_on, lschema.field(left_on).type)])
+    tagged, lschema, _r = _tagged_bucket_union(
+        candidates, keys_only, left_on, right_on, num_buckets,
+        lschema=lschema, rschema=rschema,
+    )
+    lnames = list(lschema.names)
+    out_schema = pa.schema([(n, lschema.field(n).type) for n in lnames])
+
+    def semi_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["__side"], "l")
+        lg = g.filter(lmask).select(lnames)
+        if lg.num_rows == 0:
+            return out_schema.empty_table()
+        rkeys = pc.unique(g.filter(pc.invert(lmask))[right_on])
+        return lg.filter(pc.is_in(lg[left_on], value_set=rkeys)).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(semi_bucket, batch_format="pyarrow")

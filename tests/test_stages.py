@@ -878,3 +878,60 @@ def test_canonical_url_and_dedup():
     }))
     keep = sorted(url_dedup_ids(ds).to_pandas()["doc_id"])
     assert keep == [1, 4, 5]
+
+
+# --- bloom filter / bloom semi-join ------------------------------------
+def test_bloom_no_false_negatives_and_low_fpr():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.bloom import build_bloom
+
+    rng = np.random.RandomState(7)
+    members = rng.randint(-2**62, 2**62, size=5000).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": members})).repartition(6)
+    bloom = build_bloom(ds, "k", num_bits=1 << 18, num_hashes=4)
+    assert bloom.contains(members).all()  # never a false negative
+    probe = rng.randint(-2**62, 2**62, size=20000).astype(np.int64)
+    outside = probe[~np.isin(probe, members)]
+    fpr = float(bloom.contains(outside).mean())
+    assert fpr < 0.01  # 2^18 bits / 5k keys / k=4 → expected ~3e-5
+
+
+def test_bloom_semi_join_matches_exact():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.bloom import bloom_semi_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame({
+        "key": rng.randint(0, 300, size=2000).astype(np.int64),
+        "val": rng.randn(2000),
+    })
+    right = pd.DataFrame({"rk": np.arange(0, 300, 3, dtype=np.int64)})
+    # tiny bloom → real false positives, proving the exact verify strips them
+    out = bloom_semi_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2),
+        left_on="key", right_on="rk", num_bits=256, num_hashes=2,
+        num_buckets=8,
+    ).to_pandas()
+    expected = left[left["key"].isin(set(right["rk"]))]
+    key = ["key", "val"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = expected[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_bloom_semi_join_empty_right():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.bloom import bloom_semi_join
+
+    left = pd.DataFrame({"key": np.arange(50, dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([], dtype=np.int64)})
+    out = bloom_semi_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        left_on="key", right_on="rk", num_bits=256, num_hashes=2,
+        num_buckets=4,
+    ).to_pandas()
+    assert len(out) == 0
