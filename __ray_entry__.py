@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_order_counts": R.part_order_counts,
         "cumulative_order_revenue": R.cumulative_order_revenue,
         "events_props_k_stats": R.events_props_k_stats,
+        "orders_join_priority_skew": R.orders_join_priority_skew,
+        "customer_rollup": R.customer_rollup,
+        "segment_priority_pivot": R.segment_priority_pivot,
+        "lineitem_price_qty_corr": R.lineitem_price_qty_corr,
+        "events_user_gaps": R.events_user_gaps,
         # events / windows / set ops / as-of
         "events_hourly": R.events_hourly,
         "events_sliding": R.events_sliding,
@@ -110,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": R.dedup_exact,
         "incremental_dedup": R.incremental_dedup_q,
         "tfidf_top_terms": R.tfidf_top_terms,
+        "top_tokens": R.top_tokens,
+        "pii_redaction": R.pii_redaction,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
         "knn_ivf": R.knn_ivf_q,
@@ -368,6 +375,84 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN orders ON o_orderkey = l_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "orders_join_priority_skew": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "customer_rollup": """
+            SELECT COALESCE(r_name, 'ALL') AS region,
+                   COALESCE(n_name, 'ALL') AS nation,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY region, nation
+        """,
+        "segment_priority_pivot": """
+            SELECT c_mktsegment,
+                   CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+                   CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+                   CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+                   CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_not_specified,
+                   CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "lineitem_price_qty_corr": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(corr(l_quantity, l_extendedprice), 6) AS price_qty_corr
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "events_user_gaps": """
+            WITH g AS (
+              SELECT event_type,
+                     (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)))
+                     / 1000000.0 AS gap
+              FROM events)
+            SELECT event_type,
+                   CAST(count(gap) AS BIGINT) AS n_gaps,
+                   round(sum(gap) / count(gap), 3) AS avg_gap_s
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "top_tokens": """
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS token
+                  FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+        """,
+        "pii_redaction": """
+            WITH s AS (
+              SELECT doc_id,
+                     COALESCE(text, '') ||
+                     repeat(' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com',
+                            CAST(doc_id % 3 AS INTEGER)) ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN ' call +1-555-'
+                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\+\\d{1,2}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                       '\\+\\d{1,2}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones
+            FROM s ORDER BY doc_id
         """,
         "largest_docs": """
             SELECT doc_id, n_chars FROM documents

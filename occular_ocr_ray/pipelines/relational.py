@@ -1059,3 +1059,210 @@ def urgent_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
                            [("n_items", "i"), ("revenue", "f")]).to_pandas()
     out["revenue"] = _round_away(out["revenue"], 2)
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def top_tokens(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide exact top-10 tokens via the Misra-Gries sketch +
+    exact-verify two-pass (stages/sketch_agg.topk_by_frequency): batch
+    sketches fold streaming on the driver, the candidate set broadcasts
+    once, and only ≤ capacity exact-count rows per batch shuffle — the
+    heavy-hitters pattern a 100-TB vocabulary scan needs.  The result
+    carries a runtime exactness certificate (k-th count vs the sketch
+    error bound) instead of a silent approximation."""
+    from ..stages.sketch_agg import topk_by_frequency
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return topk_by_frequency(ds, "text", k=10, capacity=4096)
+
+
+def events_user_gaps(sf_dir: str) -> pd.DataFrame:
+    """LAG window: per-user inter-event gaps (ts − previous ts within
+    the user's timeline, ordered ts then event_id), aggregated to
+    per-event-type mean gap.  The shuffle moves only the 4-column
+    projection grouped by user; gap rows pre-aggregate map-side before
+    the tiny event_type groupby."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds()
+        out = pd.DataFrame({"event_type": g["event_type"].to_numpy(),
+                            "gap": gap.to_numpy()})
+        return out.dropna(subset=["gap"])
+
+    per = ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_gaps=np.int64(1))
+        return df.groupby("event_type", as_index=False).agg(
+            n_gaps=("n_gaps", "sum"), gap=("gap", "sum"))
+
+    out = _partial_groupby(per, ["event_type"], partials,
+                           [("n_gaps", "i"), ("gap", "f")]).to_pandas()
+    out["avg_gap_s"] = _round_away(out["gap"] / out["n_gaps"], 3)
+    out = out.drop(columns=["gap"])
+    out["n_gaps"] = out["n_gaps"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def customer_rollup(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate (GROUP BY ROLLUP): customer count and
+    account-balance totals at nation, region-subtotal and grand-total
+    levels.  Scale shape: ONE map-side-combined groupby at the finest
+    (region, nation) grain — dim lookups broadcast — then the coarser
+    levels are derived from the ≤ |nations| finest rows driver-side;
+    higher levels never touch the fact table again."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"],
+                   nation["n_regionkey"].map(
+                       dict(zip(region["r_regionkey"], region["r_name"])))))
+    n2n = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((n2r, n2n))
+    ds = _t(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rmap, nmap = ray.get(ref)
+        df = pd.DataFrame({"region": df["c_nationkey"].map(rmap),
+                           "nation": df["c_nationkey"].map(nmap),
+                           "n_customers": np.int64(1),
+                           "acctbal": df["c_acctbal"]})
+        return df.groupby(["region", "nation"], as_index=False).agg(
+            n_customers=("n_customers", "sum"), acctbal=("acctbal", "sum"))
+
+    fine = _partial_groupby(ds, ["region", "nation"], partials,
+                            [("n_customers", "i"), ("acctbal", "f")]).to_pandas()
+    sub = fine.groupby("region", as_index=False).agg(
+        n_customers=("n_customers", "sum"), acctbal=("acctbal", "sum"))
+    sub["nation"] = "ALL"
+    tot = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
+                        "n_customers": [fine["n_customers"].sum()],
+                        "acctbal": [fine["acctbal"].sum()]})
+    out = pd.concat([fine, sub, tot], ignore_index=True)
+    out["total_acctbal"] = _round_away(out["acctbal"], 2)
+    out = out.drop(columns=["acctbal"])
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out.sort_values(["region", "nation"]).reset_index(drop=True)
+
+
+def segment_priority_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (conditional aggregation): order counts per market segment
+    × order priority as one wide row per segment.  Map-side each batch
+    emits already-pivoted partial rows (crosstab), so the groupby sums
+    |segments| rows per batch regardless of fact-table size."""
+    ref = _broadcast_custseg(sf_dir)
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    prio_cols = {"1-URGENT": "n_urgent", "2-HIGH": "n_high",
+                 "3-MEDIUM": "n_medium", "4-NOT SPECIFIED": "n_not_specified",
+                 "5-LOW": "n_low"}
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        seg = df["o_custkey"].map(lookup)
+        out = pd.crosstab(seg, df["o_orderpriority"])
+        for p in prio_cols:
+            if p not in out.columns:
+                out[p] = 0
+        out = out[list(prio_cols)].rename(columns=prio_cols)
+        out.index.name = "c_mktsegment"
+        return out.reset_index().astype({c: np.int64 for c in prio_cols.values()})
+
+    out = _partial_groupby(ds, ["c_mktsegment"], partials,
+                           [(c, "i") for c in prio_cols.values()]).to_pandas()
+    for c in prio_cols.values():
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def lineitem_price_qty_corr(sf_dir: str) -> pd.DataFrame:
+    """Grouped Pearson correlation via mergeable moment partials: each
+    batch emits (n, Σx, Σy, Σxy, Σx², Σy²) per returnflag — six numbers
+    per (batch, key), never the values — and the driver combines.
+    Inputs are shifted by fixed constants before the sums (correlation
+    is shift-invariant) so the n·Σx² − (Σx)² cancellation stays benign
+    at 10^12 rows; output rounded to 6 so summation order can't flip
+    the value-hash."""
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+    SX, SY = 25.0, 35000.0  # ~data center; any fixed shift is valid
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64) - SX
+        y = df["l_extendedprice"].to_numpy(np.float64) - SY
+        d = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x, "syy": y * y})
+        return d.groupby("l_returnflag", as_index=False).sum()
+
+    m = _partial_groupby(ds, ["l_returnflag"], partials,
+                         [("n", "i"), ("sx", "f"), ("sy", "f"),
+                          ("sxy", "f"), ("sxx", "f"), ("syy", "f")]).to_pandas()
+    n = m["n"].astype(np.float64)
+    cov = m["sxy"] - m["sx"] * m["sy"] / n
+    vx = m["sxx"] - m["sx"] ** 2 / n
+    vy = m["syy"] - m["sy"] ** 2 / n
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "n_items": m["n"].astype(np.int64),
+        "price_qty_corr": _round_away(cov / np.sqrt(vx * vy), 6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def pii_redaction(sf_dir: str) -> pd.DataFrame:
+    """PII scrub over documents (functions/pii.py kernels).  The
+    synthetic corpus is PII-free, so the query deterministically
+    injects doc_id-derived emails/phones first (the oracle performs the
+    identical injection in SQL) — the redaction itself is then
+    non-vacuous: counts vary 0-2 emails / 0-1 phones per doc and the
+    redacted text is value-hashed.  Pure per-row map, no shuffle."""
+    from ..functions.pii import scrub_pii
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(np.int64)
+        injected = (
+            df["text"].fillna("")
+            + (" contact user" + did.astype(str) + "@example.com") * (did % 3)
+            + np.where(did % 2 == 0,
+                       " call +1-555-" + (did % 10000).astype(str).str.zfill(4),
+                       "")
+        )
+        scrubbed = [scrub_pii(t) for t in injected]
+        return pd.DataFrame({
+            "doc_id": did,
+            "redacted": [s[0] for s in scrubbed],
+            "n_emails": np.array([s[1] for s in scrubbed], dtype=np.int64),
+            "n_phones": np.array([s[2] for s in scrubbed], dtype=np.int64),
+        })
+
+    out = ds.map_batches(red, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def orders_join_priority_skew(sf_dir: str) -> pd.DataFrame:
+    """`orders_join_priority` semantics through the skew-aware join
+    (stages/joins.skew_aware_join): Misra-Gries hot-key detection on
+    the fact side, hot keys joined map-side against a broadcast of the
+    dim side's hot rows, cold keys through the one bucket exchange.
+    Same oracle SQL as the Dataset.join and bucketed variants — three
+    join strategies, one answer."""
+    from ..stages.joins import skew_aware_join
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = skew_aware_join(li, orders, left_on="l_orderkey",
+                             right_on="o_orderkey", hot_min_frac=0.0005)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            revenue=df["l_extendedprice"] * (1 - df["l_discount"]),
+            n_items=np.int64(1))
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+
+    out = _partial_groupby(joined, ["o_orderpriority"], partials,
+                           [("revenue", "f"), ("n_items", "i")]).to_pandas()
+    out["revenue"] = _round_away(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -159,3 +159,181 @@ def bucketed_hash_join(
         return joined.select(out_schema.names).cast(out_schema)
 
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _mg_key_histogram(ds, col: str, capacity: int):
+    """Approximate key histogram via a mergeable Misra-Gries fold over a
+    key-only projection (one row of packed lists per batch, streaming
+    driver fold — same shape as ``sketch_agg.topk_by_frequency``'s
+    candidate pass).  Returns (estimates dict, n_total); every key with
+    true count > n/(capacity+1) is guaranteed present."""
+    from .sketch_agg import _mg_compress
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, counts = np.unique(
+            batch[col].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        mg = _mg_compress(dict(zip(keys.tolist(), counts.tolist())), capacity)
+        return pa.table({
+            "keys": pa.array([list(mg.keys())], pa.list_(pa.int64())),
+            "counts": pa.array([list(mg.values())], pa.list_(pa.int64())),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    acc: dict = {}
+    n_total = 0
+    proj = ds.map_batches(partial, batch_format="pyarrow")
+    for b in proj.iter_batches(batch_format="pyarrow"):
+        for ks, cs, n in zip(b["keys"].to_pylist(), b["counts"].to_pylist(),
+                             b["n"].to_pylist()):
+            for kk, cc in zip(ks, cs):
+                acc[kk] = acc.get(kk, 0) + cc
+            if len(acc) > capacity:
+                acc = _mg_compress(acc, capacity)
+            n_total += n
+    return acc, n_total
+
+
+def skew_aware_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str,
+    hot_keys: frozenset | None = None,
+    hot_capacity: int = 64,
+    hot_min_frac: float = 0.01,
+    num_buckets: int | None = None,
+):
+    """Inner join that routes HOT keys around the shuffle — the skew
+    killer for fact ⋈ dim joins where a handful of keys carry a large
+    fraction of the fact table (a vanilla bucket exchange sends each hot
+    key's entire row set to ONE bucket task).
+
+    Plan (left scanned once, right twice — right is the small side):
+
+    1. **Detect** hot keys with a Misra-Gries histogram over left's key
+       projection (skipped when ``hot_keys`` is passed, e.g. from prior
+       pipeline stats): keys with estimated frequency ≥ ``hot_min_frac``
+       of left.  Exactness is NOT required — a missed hot key degrades
+       to the bucketed path, a false hot key just rides the broadcast.
+    2. **Broadcast** right's hot-key rows (``ray.put`` once; assumption,
+       documented: right-side cardinality per hot key is small — the
+       dim-side of a skewed fact join).
+    3. **One exchange**: a single map over left joins hot rows against
+       the broadcast table map-side (emitting finished output rows with
+       ``__bucket = -1``) and tags cold rows with their hash bucket;
+       cold right rows are tagged likewise; one ``groupby(__bucket)``
+       then passes bucket −1 through untouched and hash-joins the rest.
+       Hot volume never enters the shuffle.
+
+    Output: identical schema and rows to ``bucketed_hash_join(...,
+    join_type="inner")`` (asserted in tests on skewed data).
+    """
+    if num_buckets is None:
+        num_buckets = _default_num_buckets()
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lnames, rnames = list(lschema.names), list(rschema.names)
+    lset = set(lnames)
+
+    if hot_keys is None:
+        hist, n_total = _mg_key_histogram(left, left_on, hot_capacity)
+        cut = max(2.0, hot_min_frac * n_total)
+        hot_keys = frozenset(k for k, c in hist.items() if c >= cut)
+
+    # output schema: left cols + right non-key cols (_r suffix on clash)
+    out_fields = [(n, lschema.field(n).type) for n in lnames]
+    r_out_names: list[str] = []
+    for n in rnames:
+        if n == right_on:
+            continue
+        out_name = f"{n}_r" if n in lset else n
+        r_out_names.append(out_name)
+        out_fields.append((out_name, rschema.field(n).type))
+    out_schema = pa.schema(out_fields)
+    # exchange schema: output cols + the right key (real only on r rows)
+    exch_schema = pa.schema(
+        list(out_fields) + ([(right_on, rschema.field(right_on).type)]
+                            if right_on not in out_schema.names else [])
+    )
+    exch_names = list(exch_schema.names)
+
+    import ray
+
+    def collect_hot(batch: pa.Table) -> pa.Table:
+        mask = np.isin(batch[right_on].to_numpy(zero_copy_only=False),
+                       np.fromiter(hot_keys, dtype=np.int64)
+                       if hot_keys else np.empty(0, dtype=np.int64))
+        return batch.filter(pa.array(mask))
+
+    hot_right = pa.concat_tables(
+        [ray.get(ref) for ref in
+         right.map_batches(collect_hot, batch_format="pyarrow").to_arrow_refs()]
+    ).combine_chunks() if hot_keys else rschema.empty_table()
+    hot_ref = ray.put(hot_right)
+    hot_arr = np.fromiter(hot_keys, dtype=np.int64) if hot_keys else \
+        np.empty(0, dtype=np.int64)
+
+    def pad_to_exchange(tbl: pa.Table, bucket: np.ndarray, side: str) -> pa.Table:
+        for n in exch_names:
+            if n not in tbl.column_names:
+                tbl = tbl.append_column(n, pa.nulls(tbl.num_rows,
+                                                    exch_schema.field(n).type))
+        tbl = tbl.select(exch_names).cast(exch_schema)
+        tbl = tbl.append_column("__bucket", pa.array(bucket, pa.int32()))
+        return tbl.append_column("__side",
+                                 pa.array([side] * tbl.num_rows, pa.string()))
+
+    def route_left(batch: pa.Table) -> pa.Table:
+        keys = batch[left_on].to_numpy(zero_copy_only=False)
+        hot_mask = np.isin(keys, hot_arr)
+        cold = batch.filter(pa.array(~hot_mask))
+        out_parts = []
+        if cold.num_rows:
+            bucket = (np.abs(cold[left_on].to_numpy(zero_copy_only=False))
+                      % num_buckets).astype(np.int32)
+            out_parts.append(pad_to_exchange(cold, bucket, "l"))
+        hot = batch.filter(pa.array(hot_mask))
+        if hot.num_rows:
+            joined = hot.join(ray.get(hot_ref), keys=[left_on],
+                              right_keys=[right_on], join_type="inner",
+                              right_suffix="_r")
+            joined = joined.select(out_schema.names).cast(out_schema)
+            bucket = np.full(joined.num_rows, -1, dtype=np.int32)
+            out_parts.append(pad_to_exchange(joined, bucket, "j"))
+        if not out_parts:
+            return pad_to_exchange(out_schema.empty_table(),
+                                   np.empty(0, dtype=np.int32), "l")
+        return pa.concat_tables(out_parts).combine_chunks()
+
+    def route_right_cold(batch: pa.Table) -> pa.Table:
+        keys = batch[right_on].to_numpy(zero_copy_only=False)
+        cold = batch.filter(pa.array(~np.isin(keys, hot_arr)))
+        # place right's non-key columns under their OUT names
+        cols = {right_on: cold[right_on]}
+        for n, out_name in zip([n for n in rnames if n != right_on],
+                               r_out_names):
+            cols[out_name] = cold[n]
+        tbl = pa.table(cols)
+        bucket = (np.abs(cold[right_on].to_numpy(zero_copy_only=False))
+                  % num_buckets).astype(np.int32)
+        return pad_to_exchange(tbl, bucket, "r")
+
+    tagged = left.map_batches(route_left, batch_format="pyarrow").union(
+        right.map_batches(route_right_cold, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        if g["__bucket"][0].as_py() == -1:
+            return g.select(out_schema.names).cast(out_schema)
+        lmask = pc.equal(g["__side"], "l")
+        lg = g.filter(lmask).select(lnames)
+        rg = g.filter(pc.equal(g["__side"], "r")).select([right_on, *r_out_names])
+        if lg.num_rows == 0 or rg.num_rows == 0:
+            return out_schema.empty_table()
+        joined = lg.join(rg, keys=[left_on], right_keys=[right_on],
+                         join_type="inner")
+        return joined.select(out_schema.names).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")

@@ -79,6 +79,124 @@ _LOG_GAMMA = float(np.log(_GAMMA))
 _UNDERFLOW = np.iinfo(np.int64).min // 2  # bucket for values <= 0
 
 
+def _mg_compress(counts: dict, capacity: int) -> dict:
+    """Misra-Gries decrement step: keep ≤ ``capacity`` counters by
+    subtracting the (capacity+1)-th largest count from all and dropping
+    the non-positive — each surviving estimate undercounts by at most
+    the total decremented amount (≤ n/(capacity+1) overall, and the
+    bound survives merging; Agarwal et al., "Mergeable Summaries",
+    PODS 2012)."""
+    if len(counts) <= capacity:
+        return counts
+    d = sorted(counts.values(), reverse=True)[capacity]
+    return {k: c - d for k, c in counts.items() if c > d}
+
+
+def topk_by_frequency(
+    ds,
+    col: str,
+    *,
+    k: int = 10,
+    capacity: int = 4096,
+    tokenize=str.split,
+    batch_size: int = 1024,
+) -> pd.DataFrame:
+    """EXACT top-k most frequent tokens via a two-pass sketch+verify:
+
+    1. **Candidate pass** — each batch tokenizes locally, counts
+       exactly, compresses to a Misra-Gries sketch of ``capacity``
+       counters, and emits ONE row (token list + count list + batch
+       token total).  The driver OR-folds the partials streaming
+       (``iter_batches``, one dict accumulator — same fold shape as
+       ``bloom.build_bloom``), re-compressing after each merge.  Every
+       token with true count > n/(capacity+1) is guaranteed present.
+    2. **Verify pass** — the candidate set (≤ capacity tokens) is
+       broadcast via ``ray.put``; each batch emits exact counts for
+       candidates only; a tiny groupby sums them.  Top-k is taken with
+       a deterministic tie-break (count desc, token asc).
+
+    The result is EXACT whenever the k-th count strictly exceeds the
+    sketch error bound n/(capacity+1) — checked at runtime, raising
+    ``ValueError`` (raise ``capacity``) instead of silently returning a
+    possibly-wrong tail.  Shuffle volume: stage 1 moves one
+    ≤ capacity-entry row per batch; stage 2 moves ≤ capacity rows per
+    batch — never the corpus.
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+
+    def partial_sketch(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        n = 0
+        for text in batch[col].to_pylist():
+            toks = tokenize(text) if text else []
+            n += len(toks)
+            c.update(toks)
+        mg = _mg_compress(dict(c), capacity)
+        return pa.table({
+            "tokens": pa.array([list(mg.keys())], pa.list_(pa.string())),
+            "counts": pa.array([list(mg.values())], pa.list_(pa.int64())),
+            "n": pa.array([n], pa.int64()),
+            "lossless": pa.array([len(mg) == len(c)], pa.bool_()),
+        })
+
+    acc: dict = {}
+    n_total = 0
+    compressed = False  # False ⇒ candidates = complete vocabulary ⇒ exact
+    partials = ds.map_batches(partial_sketch, batch_format="pyarrow",
+                              batch_size=batch_size)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for toks, cnts, n, lossless in zip(b["tokens"].to_pylist(),
+                                           b["counts"].to_pylist(),
+                                           b["n"].to_pylist(),
+                                           b["lossless"].to_pylist()):
+            compressed = compressed or not lossless
+            for t, c in zip(toks, cnts):
+                acc[t] = acc.get(t, 0) + c
+            if len(acc) > capacity:
+                acc = _mg_compress(acc, capacity)
+                compressed = True
+            n_total += n
+
+    if not acc:
+        return pd.DataFrame({"token": pd.Series([], dtype=str),
+                             "cnt": pd.Series([], dtype=np.int64)})
+
+    cand_ref = ray.put(frozenset(acc))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        c: Counter = Counter()
+        for text in batch[col].to_pylist():
+            if text:
+                c.update(t for t in tokenize(text) if t in cand)
+        return pa.table({"token": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(exact_counts, batch_format="pyarrow",
+                       batch_size=batch_size)
+        .groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    exact = exact.sort_values(["cnt", "token"],
+                              ascending=[False, True]).reset_index(drop=True)
+    top = exact.head(k).copy()
+    bound = n_total / (capacity + 1)
+    kth = float(top["cnt"].iloc[-1]) if len(top) == k else 0.0
+    if compressed and kth <= bound:
+        raise ValueError(
+            f"top-{k} not certifiably exact: k-th confirmed count {kth:.0f}"
+            f" <= error bound {bound:.1f}; raise capacity (= {capacity})"
+        )
+    top["cnt"] = top["cnt"].astype(np.int64)
+    return top.reset_index(drop=True)
+
+
 def approx_quantiles(
     ds,
     key_col: str,

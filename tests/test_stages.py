@@ -935,3 +935,109 @@ def test_bloom_semi_join_empty_right():
         num_buckets=4,
     ).to_pandas()
     assert len(out) == 0
+
+
+# --- skew-aware join ---------------------------------------------------
+def test_skew_aware_join_matches_bucketed_on_skewed_data():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import bucketed_hash_join, skew_aware_join
+
+    rng = np.random.RandomState(5)
+    # 3 hot keys carry ~60% of the left side; the rest is uniform
+    hot = rng.choice([7, 42, 99], size=3000)
+    cold = rng.randint(100, 1000, size=2000)
+    keys = np.concatenate([hot, cold]).astype(np.int64)
+    rng.shuffle(keys)
+    left = pd.DataFrame({"k": keys, "v": np.arange(len(keys), dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.arange(0, 1000, 2, dtype=np.int64),
+                          "tag": [f"t{i}" for i in range(0, 1000, 2)]})
+    lds = rd.from_pandas(left).repartition(6)
+    rds = rd.from_pandas(right).repartition(3)
+    got = skew_aware_join(lds, rds, left_on="k", right_on="rk",
+                          hot_min_frac=0.05, num_buckets=8).to_pandas()
+    exp = bucketed_hash_join(lds, rds, left_on="k", right_on="rk",
+                             num_buckets=8).to_pandas()
+    cols = ["k", "v", "tag"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["k", "v"]).reset_index(drop=True),
+        exp[cols].sort_values(["k", "v"]).reset_index(drop=True),
+    )
+    # the detection pass must actually have routed the hot keys
+    from occular_ocr_ray.stages.joins import _mg_key_histogram
+    hist, n = _mg_key_histogram(lds, "k", 64)
+    assert {7, 42, 99} <= {k for k, c in hist.items() if c >= 0.05 * n}
+
+
+def test_skew_aware_join_explicit_hot_keys_and_no_hot():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import skew_aware_join
+
+    left = pd.DataFrame({"k": np.array([1, 1, 2, 3], dtype=np.int64)})
+    right = pd.DataFrame({"rk": np.array([1, 3], dtype=np.int64),
+                          "x": np.array([10, 30], dtype=np.int64)})
+    for hk in (frozenset(), frozenset({1})):
+        out = skew_aware_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            left_on="k", right_on="rk", hot_keys=hk, num_buckets=4,
+        ).to_pandas().sort_values(["k"]).reset_index(drop=True)
+        assert out["k"].tolist() == [1, 1, 3]
+        assert out["x"].tolist() == [10, 10, 30]
+
+
+# --- Misra-Gries exact top-k ------------------------------------------
+def test_topk_by_frequency_exact_small_vocab():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.sketch_agg import topk_by_frequency
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(40)]
+    weights = np.linspace(5, 1, 40); weights /= weights.sum()
+    docs = [" ".join(rng.choice(vocab, size=30, p=weights)) for _ in range(200)]
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(5)
+    got = topk_by_frequency(ds, "text", k=5, capacity=1024)
+    exact = pd.Series(" ".join(docs).split()).value_counts()
+    exp = (exact.rename_axis("token").reset_index(name="cnt")
+           .sort_values(["cnt", "token"], ascending=[False, True])
+           .head(5).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_topk_by_frequency_certifies_or_raises_under_pressure():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.sketch_agg import topk_by_frequency
+
+    rng = np.random.RandomState(9)
+    # heavy head over a huge tail with capacity far below vocab size:
+    # compression WILL happen; the head must still certify exactly
+    head = [f"hot{i}" for i in range(3)]
+    docs = []
+    for _ in range(300):
+        toks = list(rng.choice(head, size=40)) + \
+            [f"tail{rng.randint(0, 20000)}" for _ in range(10)]
+        docs.append(" ".join(toks))
+    ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(4)
+    got = topk_by_frequency(ds, "text", k=3, capacity=256)
+    assert sorted(got["token"]) == sorted(head)
+    # asking deep into the uncertifiable tail must raise, not lie
+    with pytest.raises(ValueError, match="not certifiably exact"):
+        topk_by_frequency(ds, "text", k=200, capacity=256)
+
+
+# --- PII kernels -------------------------------------------------------
+def test_scrub_pii_kernels():
+    from occular_ocr_ray.functions.pii import scrub_pii
+
+    text = ("mail a.b-c_9%x@sub.example.co.uk or bob@ex.io, "
+            "call +1-555-0199 / +44-201-9999, host 10.0.255.3 ok, "
+            "not-an-ip 999.999 and half@nope stays")
+    red, ne, np_, ni = scrub_pii(text)
+    assert ne == 2 and np_ == 2 and ni == 1
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<IP>" in red
+    assert "example.co.uk" not in red and "555-0199" not in red
+    assert "10.0.255.3" not in red
+    assert "half@nope stays" in red  # no TLD → not an email
+    assert scrub_pii("") == ("", 0, 0, 0)
