@@ -117,8 +117,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": R.tfidf_top_terms,
         "top_tokens": R.top_tokens,
         "pii_redaction": R.pii_redaction,
+        "doc_repetition": R.doc_repetition,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
+        "label_centroids": R.label_centroids,
         "knn_ivf": R.knn_ivf_q,
         "embedding_neardup": R.embedding_neardup_q,
         # flagship extraction + text analysis (rows-only)
@@ -429,6 +431,44 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE token <> ''
             GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text, '\\s+')) AS tok,
+                     generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i
+              FROM documents),
+            tk AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     count(DISTINCT tok) AS n_distinct
+              FROM toks WHERE tok <> '' GROUP BY doc_id),
+            bg AS (
+              SELECT doc_id,
+                     tok || ' ' || LEAD(tok) OVER (
+                        PARTITION BY doc_id ORDER BY i) AS bigram
+              FROM toks WHERE tok <> ''),
+            c AS (
+              SELECT doc_id, bigram, count(*) AS n
+              FROM bg WHERE bigram IS NOT NULL GROUP BY doc_id, bigram),
+            tb AS (
+              SELECT doc_id, sum(n) AS n_bigrams, max(n) AS top
+              FROM c GROUP BY doc_id)
+            SELECT tk.doc_id,
+                   CAST(tk.n_tokens AS BIGINT) AS n_tokens,
+                   round(tk.n_distinct * 1.0 / tk.n_tokens, 6) AS ttr,
+                   round(tb.top * 1.0 / tb.n_bigrams, 6) AS top_bigram_frac
+            FROM tk JOIN tb ON tk.doc_id = tb.doc_id
+            WHERE tk.n_tokens >= 2
+            ORDER BY tk.doc_id
+        """,
+        "label_centroids": """
+            WITH e AS (
+              SELECT label, unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+                   round(avg(v), 6) AS c
+            FROM e GROUP BY label, i ORDER BY label, i
         """,
         "pii_redaction": """
             WITH s AS (

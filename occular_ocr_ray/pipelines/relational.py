@@ -1266,3 +1266,83 @@ def orders_join_priority_skew(sf_dir: str) -> pd.DataFrame:
     out["revenue"] = _round_away(out["revenue"], 2)
     out["n_items"] = out["n_items"].astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Repetition-based quality metrics (the Gopher/C4 family): per-doc
+    type-token ratio and top-bigram fraction — the standard signals for
+    dropping degenerate/templated documents before training.  Pure
+    per-row map (Counter over the token stream), no shuffle; docs with
+    fewer than 2 tokens are excluded (both metrics undefined), mirrored
+    in the oracle."""
+    from collections import Counter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "n_tokens": [], "ttr": [], "top_bigram_frac": []}
+        for did, text in zip(df["doc_id"], df["text"]):
+            toks = (text or "").split()
+            if len(toks) < 2:
+                continue
+            n = len(toks)
+            bigrams = Counter(zip(toks, toks[1:]))
+            rows["doc_id"].append(did)
+            rows["n_tokens"].append(n)
+            rows["ttr"].append(len(set(toks)) / n)
+            rows["top_bigram_frac"].append(max(bigrams.values()) / (n - 1))
+        out = pd.DataFrame(rows)
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        out["ttr"] = _round_away(out["ttr"], 6)
+        out["top_bigram_frac"] = _round_away(out["top_bigram_frac"], 6)
+        return out
+
+    out = ds.map_batches(metrics, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Vector aggregate over an embedding column: per-label centroid,
+    long form (label, i, c) — one row per dimension.  Scale shape: each
+    batch emits ONE partial row per label (float64 sum vector + count);
+    the groupby merges ≤ #batches fixed-size partials per label and the
+    centroid division + explode happens on |labels|·dim rows.  The
+    shuffle never moves the embeddings themselves."""
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        # list<float32> → (rows, dim) float64 matrix, zero-copy flatten
+        flat = batch["embedding"].combine_chunks()
+        mat = flat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(len(lab), -1)
+        labels, sums, ns = [], [], []
+        for lb in np.unique(lab):
+            m = lab == lb
+            labels.append(int(lb))
+            sums.append(mat[m].sum(axis=0).tolist())
+            ns.append(int(m.sum()))
+        return pa.table({
+            "label": pa.array(labels, pa.int64()),
+            "sums": pa.array(sums, pa.list_(pa.float64())),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        total = np.sum(np.stack([np.asarray(s) for s in g["sums"]]), axis=0)
+        n = int(g["n"].sum())
+        cent = _round_away(total / n, 6)
+        dim = len(cent)
+        return pd.DataFrame({
+            "label": np.full(dim, g["label"].iloc[0], dtype=np.int64),
+            "i": np.arange(1, dim + 1, dtype=np.int64),
+            "c": cent,
+        })
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["label", "i"]).reset_index(drop=True)
