@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
+from html.parser import attrfind_tolerant as _ATTRFIND
+from html.parser import tagfind_tolerant as _TAGFIND
 
 # Block-level boundary tags (SURVEY.md §2.2 M2).  Opening OR closing one
 # of these flushes the current block.
@@ -76,6 +78,42 @@ class _BlockParser(HTMLParser):
         parse on article-sized documents.  Token stream and handler
         calls are unaffected — byte-identity is untouched (goldens)."""
         return j
+
+    def parse_starttag(self, i: int) -> int:
+        """Attribute materialization disabled: this segmenter never
+        reads ``attrs`` (handlers take the tag name only), yet the base
+        ``parse_starttag`` builds + entity-unescapes an attr list for
+        every tag — ~15% of parse wall on attribute-bearing documents.
+        This copy keeps the EXACT stdlib tokenization (same
+        ``check_for_whole_start_tag`` end-finding, same
+        ``attrfind_tolerant`` positioning loop, same junk-tag-as-data
+        fallback, same CDATA-mode entry) and skips only the attr
+        group-extraction/unescape/list-build.  Byte-identity pinned by
+        the goldens."""
+        endpos = self.check_for_whole_start_tag(i)
+        if endpos < 0:
+            return endpos
+        rawdata = self.rawdata
+        match = _TAGFIND.match(rawdata, i + 1)
+        assert match, "unexpected call to parse_starttag()"
+        k = match.end()
+        self.lasttag = tag = match.group(1).lower()
+        while k < endpos:
+            m = _ATTRFIND.match(rawdata, k)
+            if not m:
+                break
+            k = m.end()
+        end = rawdata[k:endpos].strip()
+        if end not in (">", "/>"):
+            self.handle_data(rawdata[i:endpos])
+            return endpos
+        if end.endswith("/>"):
+            self.handle_startendtag(tag, ())
+        else:
+            self.handle_starttag(tag, ())
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
+        return endpos
 
     # -- block lifecycle ------------------------------------------------
     def _flush(self) -> None:
