@@ -361,7 +361,7 @@ def neardup_drop_ids(pairs_ds, *, strategy: str = "driver") -> pd.DataFrame:
 
 
 def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None = None,
-                  drop_col: str | None = None):
+                  drop_col: str | None = None, bloom_bits: int | None = None):
     """Distributed anti-semi-join: remove from ``ds`` every row whose
     ``id_col`` appears in ``drop_ds`` (a Dataset whose id column is
     ``drop_col``, default ``id_col`` — ``neardup_drop_ids_dataset``
@@ -369,6 +369,19 @@ def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None =
     dedup path for dup-heavy corpora where even the drop-set outgrows a
     broadcast: both sides bucket by id hash (the only shuffle), and each
     bucket filters its corpus rows against its bucket-local drop ids.
+
+    ``bloom_bits`` (optional, e.g. ``1 << 22`` = 512 KiB): build a
+    Bloom filter over the drop ids and route the bloom-negative corpus
+    rows — definitely not dropped, no false negatives — straight to the
+    output, so only ``|drops| + FPR·|corpus|`` rows enter the exchange
+    instead of the whole corpus.  Trade-off (explicit, per the
+    single-scan rule): the corpus dataset is consumed by TWO branches;
+    for a parquet-backed ``ds`` that is two embarrassingly-parallel
+    reads in exchange for eliminating ~all of an all-to-all shuffle —
+    the right trade at 100 TB — but for an expensive derived pipeline,
+    checkpoint ``ds`` first (cf. ``training_data._checkpoint``) or skip
+    the bloom.  Result is exact either way (bloom-positive rows get the
+    same per-bucket verify).
 
     The common case (drop-set ≪ corpus) should prefer the broadcast
     filter in ``pipelines/training_data.py`` — one ``ray.put`` beats a
@@ -382,6 +395,30 @@ def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None =
         lambda b: pa.table({id_col: b[src_col].cast(pa.int64())}),
         batch_format="pyarrow",
     )
+
+    if bloom_bits:
+        import ray
+
+        from .bloom import build_bloom
+
+        bloom_ref = ray.put(build_bloom(drop_only, id_col, num_bits=bloom_bits))
+
+        def bloom_negative(batch: pa.Table) -> pa.Table:
+            mask = ray.get(bloom_ref).contains(
+                batch[id_col].to_numpy(zero_copy_only=False))
+            return batch.filter(pa.array(~mask))
+
+        def bloom_positive(batch: pa.Table) -> pa.Table:
+            mask = ray.get(bloom_ref).contains(
+                batch[id_col].to_numpy(zero_copy_only=False))
+            return batch.filter(pa.array(mask))
+
+        definite_keep = ds.map_batches(bloom_negative, batch_format="pyarrow")
+        exact = anti_join_ids(
+            ds.map_batches(bloom_positive, batch_format="pyarrow"),
+            drop_only, id_col=id_col, num_buckets=num_buckets,
+        )
+        return definite_keep.union(exact)
     tagged, lschema, _ = _tagged_bucket_union(
         ds, drop_only, id_col, id_col, num_buckets,
         rschema=pa.schema([(id_col, pa.int64())]),  # drop side is known

@@ -35,6 +35,20 @@ def _default_num_buckets() -> int:
     return max(32, 2 * cores)
 
 
+def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket assignment for any key dtype: integer keys
+    bucket by |k| % B (cheap, stable); string/other keys by pandas'
+    fixed-key siphash (``pd.util.hash_array`` — process- and
+    run-invariant, unlike builtin ``hash`` under PYTHONHASHSEED).
+    Web-data joins are routinely on strings (url, domain, lang)."""
+    if keys.dtype.kind in "iu":
+        return (np.abs(keys) % num_buckets).astype(np.int32)
+    import pandas as pd
+
+    h = pd.util.hash_array(np.asarray(keys, dtype=object))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
 def _arrow_schema(ds) -> pa.Schema:
     """Dataset schema as a pa.Schema.  Pandas-block datasets (e.g.
     ``from_pandas``) report numpy dtypes; map them to the Arrow types the
@@ -83,7 +97,7 @@ def _tagged_bucket_union(left, right, left_on: str, right_on: str, num_buckets: 
     def tag(side: str, key: str, pad):
         def f(batch: pa.Table) -> pa.Table:
             keys = batch[key].to_numpy(zero_copy_only=False)
-            bucket = (np.abs(keys) % num_buckets).astype(np.int32)
+            bucket = _bucket_of(keys, num_buckets)
             for n, typ in pad:
                 batch = batch.append_column(n, pa.nulls(batch.num_rows, typ))
             batch = batch.select(all_names)

@@ -1041,3 +1041,49 @@ def test_scrub_pii_kernels():
     assert "10.0.255.3" not in red
     assert "half@nope stays" in red  # no TLD → not an email
     assert scrub_pii("") == ("", 0, 0, 0)
+
+
+def test_bucketed_hash_join_string_keys():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import bucketed_hash_join
+
+    rng = np.random.RandomState(13)
+    langs = ["en", "de", "fr", "zh", "es", "pt", "it", "nl"]
+    left = pd.DataFrame({"lang": rng.choice(langs, 500),
+                         "v": np.arange(500, dtype=np.int64)})
+    right = pd.DataFrame({"code": ["en", "de", "fr", "xx"],
+                          "family": ["ger", "ger", "rom", "unk"]})
+    for jt in ("inner", "left outer"):
+        got = bucketed_hash_join(
+            rd.from_pandas(left).repartition(4), rd.from_pandas(right),
+            left_on="lang", right_on="code", num_buckets=8, join_type=jt,
+        ).to_pandas()
+        exp = left.merge(right, left_on="lang", right_on="code",
+                         how="inner" if jt == "inner" else "left").drop(columns=["code"])
+        cols = ["lang", "v", "family"]
+        pd.testing.assert_frame_equal(
+            got[cols].sort_values(["lang", "v"]).reset_index(drop=True),
+            exp[cols].sort_values(["lang", "v"]).reset_index(drop=True),
+        )
+
+
+def test_anti_join_bloom_prefilter_matches_plain():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.dedup import anti_join_ids
+
+    rng = np.random.RandomState(17)
+    ids = np.arange(2000, dtype=np.int64)
+    corpus = pd.DataFrame({"doc_id": ids, "x": rng.randn(2000)})
+    drops = pd.DataFrame({"doc_id": rng.choice(ids, 300, replace=False)})
+    cds = rd.from_pandas(corpus).repartition(5)
+    dds = rd.from_pandas(drops).repartition(2)
+    plain = anti_join_ids(cds, dds, num_buckets=8).to_pandas()
+    # 256-bit bloom over 300 keys → massive FPR: exercises BOTH branches
+    bloomed = anti_join_ids(cds, dds, num_buckets=8, bloom_bits=256).to_pandas()
+    assert len(plain) == 1700
+    pd.testing.assert_frame_equal(
+        plain.sort_values("doc_id").reset_index(drop=True),
+        bloomed.sort_values("doc_id").reset_index(drop=True),
+    )
