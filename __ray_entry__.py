@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": R.top_tokens,
         "pii_redaction": R.pii_redaction,
         "doc_repetition": R.doc_repetition,
+        "dataset_split": R.dataset_split,
+        "packing_plan": R.packing_plan,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
         "label_centroids": R.label_centroids,
@@ -431,6 +433,37 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE token <> ''
             GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+        """,
+        "dataset_split": """
+            WITH h AS (
+              SELECT lang,
+                     (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 AS hv
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN hv < 3489660928 THEN 'train'
+                        WHEN hv < 3758096384 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM h GROUP BY lang, split ORDER BY lang, split
+        """,
+        "packing_plan": """
+            WITH t AS (
+              SELECT lang, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT lang, doc_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cum_before
+              FROM t)
+            SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM c GROUP BY lang, bin ORDER BY lang, bin
         """,
         "doc_repetition": """
             WITH toks AS (

@@ -1346,3 +1346,74 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["label", "i"]).reset_index(drop=True)
+
+
+def dataset_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test assignment — the reproducible-split
+    primitive for training corpora: split = range of the same Knuth
+    multiplicative hash `sample_hash` uses (13/16 train, 1/16 val, 2/16
+    test), so membership is stable under any repartitioning, resharding
+    or rerun, and a doc never migrates between splits as the corpus
+    grows.  Vectorized map + map-side-combined count rollup."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+    K, M = np.uint64(2654435761), np.uint64(1 << 32)
+    T_TRAIN, T_VAL = np.uint64(13 << 28), np.uint64(14 << 28)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = ((ids % M) * K) % M
+        split = np.where(h < T_TRAIN, "train", np.where(h < T_VAL, "val", "test"))
+        df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "split": split,
+                           "n_docs": np.int64(1)})
+        out = df.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n_docs", "sum"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["lang", "split"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+def packing_plan(sf_dir: str) -> pd.DataFrame:
+    """Sequence-packing plan (contiguous-fill): per language, docs in
+    doc_id order are assigned to 2048-token bins by
+    bin = (cumulative tokens before the doc) // 2048 — the deterministic
+    batch-packing layout a training loader consumes.  The shuffle moves
+    only (lang, doc_id, n_tokens) triples; the running sum needs the
+    group co-located and ordered, exactly like `cumulative_order_revenue`
+    (SURVEY custom-operator route (a))."""
+    from ..functions.textstats import token_count
+
+    BIN = 2048
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"],
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_tokens": np.array([token_count(t) for t in df["text"]],
+                                 dtype=np.int64),
+        })
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        cum_before = g["n_tokens"].cumsum() - g["n_tokens"]
+        g = g.assign(bin=(cum_before // BIN).astype(np.int64))
+        out = g.groupby("bin", as_index=False).agg(
+            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"))
+        out.insert(0, "lang", g["lang"].iloc[0])
+        return out.astype({"n_docs": np.int64, "total_tokens": np.int64})
+
+    out = (
+        ds.map_batches(toks, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(pack, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "bin"]).reset_index(drop=True)
