@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_urgent_orders": R.customers_without_urgent_orders,
         "urgent_lineitems_bloom": R.urgent_lineitems_bloom,
         "part_order_counts": R.part_order_counts,
+        "user_daily_click_purchase": R.user_daily_click_purchase,
         "cumulative_order_revenue": R.cumulative_order_revenue,
         "events_props_k_stats": R.events_props_k_stats,
         "orders_join_priority_skew": R.orders_join_priority_skew,
@@ -303,6 +304,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(l_orderkey) AS BIGINT) AS n_lineitems
             FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
             GROUP BY p_partkey, p_brand ORDER BY p_partkey
+        """,
+        "user_daily_click_purchase": """
+            WITH c AS (
+              SELECT user_id, EXTRACT(DAY FROM ts) AS day,
+                     count(*) AS n_clicks
+              FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            p AS (
+              SELECT user_id, EXTRACT(DAY FROM ts) AS day,
+                     count(*) AS n_purchases
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT CAST(COALESCE(c.user_id, p.user_id) AS BIGINT) AS user_id,
+                   CAST(COALESCE(c.day, p.day) AS BIGINT) AS day,
+                   CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+                   CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
+            FROM c FULL OUTER JOIN p
+              ON c.user_id = p.user_id AND c.day = p.day
+            ORDER BY user_id, day
         """,
         "cumulative_order_revenue": """
             SELECT o_custkey, o_orderkey,

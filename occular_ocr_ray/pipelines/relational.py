@@ -1417,3 +1417,40 @@ def packing_plan(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values(["lang", "bin"]).reset_index(drop=True)
+
+
+def user_daily_click_purchase(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join via the explicit bucketed hash join: per-(user,
+    day) click counts vs purchase counts, surviving rows from BOTH
+    sides — days a user clicked but never bought (left-only), bought
+    without clicking (right-only), and both (matched).  All three
+    classes are non-empty at every tier, so the outer semantics are
+    never vacuous.  The two sides join on a composite int key
+    (user_id·64 + day-of-month, day < 32) so the exchange stays a
+    single-int-column hash bucket shuffle; counts are coalesced to 0
+    post-join (mirrored in the SQL) like `part_order_counts`."""
+    from ..stages.joins import bucketed_hash_join
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def side(ev_type: str, out_col: str):
+        def partials(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["event_type"] == ev_type]
+            jk = (df["user_id"].to_numpy(np.int64) * 64
+                  + df["ts"].dt.day.to_numpy(np.int64))
+            return pd.DataFrame({"jk": jk}).groupby("jk", as_index=False).agg(
+                **{out_col: ("jk", "size")}
+            ).astype({out_col: np.int64})
+        return _partial_groupby(ds, ["jk"], partials, [(out_col, "i")])
+
+    joined = bucketed_hash_join(
+        side("click", "n_clicks"), side("purchase", "n_purchases"),
+        left_on="jk", right_on="jk", join_type="full outer",
+    )
+    out = joined.to_pandas()
+    out["user_id"] = (out["jk"] // 64).astype(np.int64)
+    out["day"] = (out["jk"] % 64).astype(np.int64)
+    for c in ("n_clicks", "n_purchases"):
+        out[c] = out[c].fillna(0).astype(np.int64)
+    out = out[["user_id", "day", "n_clicks", "n_purchases"]]
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)

@@ -123,13 +123,15 @@ def bucketed_hash_join(
     num_buckets: int | None = None,
     join_type: str = "inner",
 ):
-    """Join left ⋈ right on integer keys (``join_type``: "inner" or
-    "left outer").  Returns a Dataset with left's columns + right's
-    non-key columns (suffix "_r" on name collisions; the key column is
-    coalesced under ``left_on``).  Left-outer rows with no match carry
-    nulls in the right columns — the same bucket exchange serves both
-    types, since a left row's match can only live in its own bucket."""
-    if join_type not in ("inner", "left outer"):
+    """Join left ⋈ right on integer keys (``join_type``: "inner",
+    "left outer" or "full outer").  Returns a Dataset with left's
+    columns + right's non-key columns (suffix "_r" on name collisions;
+    the key column is coalesced under ``left_on``).  Outer rows with no
+    match carry nulls in the other side's columns — the same bucket
+    exchange serves every type, since a row's match can only live in
+    its own bucket (full outer included: an unmatched right row
+    surfaces from exactly the bucket its key hashed to)."""
+    if join_type not in ("inner", "left outer", "full outer"):
         raise ValueError(f"unsupported join_type {join_type!r}")
     if num_buckets is None:
         num_buckets = _default_num_buckets()
@@ -156,16 +158,18 @@ def bucketed_hash_join(
         # must survive as nulls, not vanish)
         lg = g.filter(lmask).select(lnames)
         rg = g.filter(pc.invert(lmask)).select(rnames)
-        if lg.num_rows == 0:
+        if lg.num_rows == 0 and join_type != "full outer":
             return out_schema.empty_table()
         if rg.num_rows == 0:
-            if join_type == "inner":
+            if join_type == "inner" or lg.num_rows == 0:
                 return out_schema.empty_table()
             for name in out_schema.names[len(lnames):]:  # null right cols
                 lg = lg.append_column(
                     name, pa.nulls(lg.num_rows, out_schema.field(name).type)
                 )
             return lg.select(out_schema.names).cast(out_schema)
+        # full outer with an empty left bucket falls through: Acero emits
+        # the right rows with null left columns, key coalesced to left_on
         joined = lg.join(
             rg, keys=[left_on], right_keys=[right_on],
             join_type=join_type, right_suffix="_r",

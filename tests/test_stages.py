@@ -805,7 +805,33 @@ def test_bucketed_hash_join_left_outer():
     assert sorted(inner["k"]) == [2, big]
     with pytest.raises(ValueError, match="join_type"):
         bucketed_hash_join(left, right, left_on="k", right_on="k",
-                           join_type="full outer")
+                           join_type="cross")
+
+
+def test_bucketed_hash_join_full_outer():
+    """Full outer surfaces unmatched rows from BOTH sides with nulls in
+    the other side's columns, key coalesced into the left key column —
+    including the empty-left-bucket and empty-right-bucket fast paths
+    (num_buckets > distinct keys forces both)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import bucketed_hash_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "lv": pa.array(["a", "b", "c"], pa.string()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4], pa.int64()),
+        "rv": pa.array([20, 40], pa.int64()),
+    }))
+    out = bucketed_hash_join(left, right, left_on="k", right_on="k",
+                             num_buckets=8, join_type="full outer"
+                             ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].isna().tolist() == [False, False, False, True]
+    assert out["rv"].isna().tolist() == [True, False, True, False]
+    assert out.loc[1, "rv"] == 20 and out.loc[3, "rv"] == 40
 
 
 def test_real_image_header_metadata():
