@@ -86,6 +86,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_lineitems_bloom": R.urgent_lineitems_bloom,
         "part_order_counts": R.part_order_counts,
         "user_daily_click_purchase": R.user_daily_click_purchase,
+        "top_building_orders": R.top_building_orders,
+        "clickdays_intersect_purchasedays": R.clickdays_intersect_purchasedays,
+        "lang_modal_source": R.lang_modal_source,
+        "decontaminated_docs": R.decontaminated_docs,
+        "clickdays_except_purchasedays": R.clickdays_except_purchasedays,
         "cumulative_order_revenue": R.cumulative_order_revenue,
         "events_props_k_stats": R.events_props_k_stats,
         "orders_join_priority_skew": R.orders_join_priority_skew,
@@ -304,6 +309,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(l_orderkey) AS BIGINT) AS n_lineitems
             FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
             GROUP BY p_partkey, p_brand ORDER BY p_partkey
+        """,
+        "decontaminated_docs": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS a
+              FROM documents),
+            pos AS (SELECT doc_id, a,
+                           unnest(generate_series(1, len(a) - 3)) AS i
+                    FROM toks),
+            grams AS (SELECT doc_id, array_to_string(a[i:i+3], ' ') AS gram
+                      FROM pos),
+            ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0),
+            bad AS (SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (gram)
+                    WHERE g.doc_id % 11 <> 0)
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % 11 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
+            ORDER BY doc_id
+        """,
+        "lang_modal_source": """
+            WITH c AS (SELECT lang, source, count(*) AS n
+                       FROM documents GROUP BY lang, source)
+            SELECT lang, source AS modal_source, CAST(n AS BIGINT) AS n_docs
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY lang ORDER BY n DESC, source) AS rk
+                  FROM c)
+            WHERE rk = 1 ORDER BY lang
+        """,
+        "clickdays_intersect_purchasedays": """
+            SELECT user_id, CAST(day AS BIGINT) AS day FROM (
+              SELECT DISTINCT user_id, EXTRACT(DAY FROM ts) AS day
+              FROM events WHERE event_type = 'click'
+              INTERSECT
+              SELECT DISTINCT user_id, EXTRACT(DAY FROM ts) AS day
+              FROM events WHERE event_type = 'purchase')
+            ORDER BY user_id, day
+        """,
+        "clickdays_except_purchasedays": """
+            SELECT user_id, CAST(day AS BIGINT) AS day FROM (
+              SELECT DISTINCT user_id, EXTRACT(DAY FROM ts) AS day
+              FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT DISTINCT user_id, EXTRACT(DAY FROM ts) AS day
+              FROM events WHERE event_type = 'purchase')
+            ORDER BY user_id, day
+        """,
+        "top_building_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "user_daily_click_purchase": """
             WITH c AS (

@@ -1454,3 +1454,164 @@ def user_daily_click_purchase(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].fillna(0).astype(np.int64)
     out = out[["user_id", "day", "n_clicks", "n_purchases"]]
     return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def top_building_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape — the three-table join chain customer ⋈ orders ⋈
+    lineitem with filters on every table, revenue per order, top 10.
+
+    Scale shape: customer is the small side (1:15 vs orders) — the
+    BUILDING-segment custkey set is broadcast once (``ray.put``) and
+    applied as a vectorized ``isin`` inside the orders scan, so the
+    chain needs exactly ONE exchange pair: lineitem revenue partials
+    pre-aggregate map-side (per-batch combine) before the per-orderkey
+    groupby, then the explicit bucketed hash join reuses the SAME
+    orderkey partitioning for rev ⋈ orders.  The final sort feeds a
+    limit of 10, so nothing big is collected."""
+    from ..stages.joins import bucketed_hash_join
+
+    CUT = pd.Timestamp("1998-01-01")
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = pc.filter(cust["c_custkey"],
+                     pc.equal(cust["c_mktsegment"], "BUILDING"))
+    keys_ref = ray.put(set(keys.to_pylist()))
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ray.get(keys_ref)
+        df = df[(df["o_orderdate"] < CUT) & df["o_custkey"].isin(keep)]
+        return df[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    orders_f = orders.map_batches(filter_orders, batch_format="pandas")
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > CUT]
+        df = df.assign(revenue=df["l_extendedprice"] * (1 - df["l_discount"]))
+        return df.groupby("l_orderkey", as_index=False).agg(
+            revenue=("revenue", "sum"))
+
+    rev = _partial_groupby(li, ["l_orderkey"], rev_partials, [("revenue", "f")])
+    joined = bucketed_hash_join(rev, orders_f, left_on="l_orderkey",
+                                right_on="o_orderkey")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(revenue=_round_away(df["revenue"], 2))
+        return df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+    out = (joined.map_batches(finalize, batch_format="pandas")
+           .sort(["revenue", "l_orderkey"], descending=[True, False])
+           .limit(10).to_pandas())
+    return out.reset_index(drop=True)
+
+
+def _distinct_event_day_pairs(sf_dir: str, event_type: str) -> rd.Dataset:
+    """Distinct (user_id, day) pairs for one event type, as the composite
+    int key user_id·64 + day (scale shape: per-batch dedupe map-side,
+    then a count-groupby whose shuffle moves one int per distinct pair —
+    never the event rows)."""
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == event_type]
+        jk = (df["user_id"].to_numpy(np.int64) * 64
+              + df["ts"].dt.day.to_numpy(np.int64))
+        return pd.DataFrame({"jk": np.unique(jk), "one": np.int64(1)})
+
+    return (_partial_groupby(ds, ["jk"], partials, [("one", "i")])
+            .select_columns(["jk"]))
+
+
+def _pairs_to_user_day(df: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame({
+        "user_id": (df["jk"] // 64).astype(np.int64),
+        "day": (df["jk"] % 64).astype(np.int64),
+    })
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
+def clickdays_intersect_purchasedays(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT (distinct set semantics): (user, day) pairs present in
+    BOTH the click and the purchase streams — two map-side-distinct
+    sides meeting in one bucketed inner join on the composite key.
+    Non-vacuous at every tier (pairs exist in each class)."""
+    from ..stages.joins import bucketed_hash_join
+
+    joined = bucketed_hash_join(
+        _distinct_event_day_pairs(sf_dir, "click"),
+        _distinct_event_day_pairs(sf_dir, "purchase"),
+        left_on="jk", right_on="jk",
+    )
+    return _pairs_to_user_day(joined.to_pandas())
+
+
+def clickdays_except_purchasedays(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT (distinct set semantics): (user, day) pairs with clicks
+    but no purchase — the distributed anti-join (`dedup.anti_join_ids`)
+    over the two distinct sides; both sides bucket-shuffle once,
+    nothing is collected or broadcast."""
+    from ..stages.dedup import anti_join_ids
+
+    kept = anti_join_ids(
+        _distinct_event_day_pairs(sf_dir, "click"),
+        _distinct_event_day_pairs(sf_dir, "purchase"),
+        id_col="jk", drop_col="jk",
+    )
+    return _pairs_to_user_day(kept.to_pandas())
+
+
+def lang_modal_source(sf_dir: str) -> pd.DataFrame:
+    """Grouped MODE with a deterministic tie-break: the most frequent
+    `source` per language (count DESC, then source ASC — plain mode()
+    is tie-unstable, so both sides pin the same total order).
+
+    Scale shape: per-batch (lang, source) counting map-side, one small
+    groupby over the partials, then a per-lang argmax over at most
+    |sources| rows per group — the shuffle never moves documents."""
+    ds = _t(sf_dir, "documents", ["lang", "source"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "source"], as_index=False).size()
+        return g.rename(columns={"size": "n_docs"}).astype({"n_docs": np.int64})
+
+    counts = _partial_groupby(ds, ["lang", "source"], partials,
+                              [("n_docs", "i")])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_docs", "source"],
+                          ascending=[False, True], kind="mergesort")
+        top = g.iloc[:1]
+        return pd.DataFrame({"lang": top["lang"],
+                             "modal_source": top["source"],
+                             "n_docs": top["n_docs"].astype(np.int64)})
+
+    out = counts.groupby("lang").map_groups(pick, batch_format="pandas").to_pandas()
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def decontaminated_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination over the documents table: the corpus
+    (doc_id % 11 != 0) minus every doc sharing a word 4-gram with the
+    held-out eval split (doc_id % 11 == 0) — `stages/decontam.py`, the
+    broadcast-eval-grams / stream-corpus shape.  Non-vacuous at every
+    tier (50-70 contaminated docs of ~455)."""
+    from ..stages.decontam import decontaminate
+
+    docs = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def split(is_eval: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (b["doc_id"].to_numpy() % 11) == 0
+            return b.filter(pa.array(m if is_eval else ~m))
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    corpus, eval_ds = split(False), split(True)
+    out = (decontaminate(corpus, eval_ds, text_col="text", n=4)
+           .select_columns(["doc_id", "lang"]).to_pandas())
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1113,3 +1113,28 @@ def test_anti_join_bloom_prefilter_matches_plain():
         plain.sort_values("doc_id").reset_index(drop=True),
         bloomed.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_decontaminate_drops_ngram_overlap():
+    """Corpus docs sharing a word 4-gram with the eval set are dropped;
+    short (<n tokens) and empty docs always survive; the eval set's own
+    grams only match contiguous runs (no bag-of-words false hits)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.decontam import decontaminate
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon",   # shares 4-gram -> drop
+            "zeta eta theta iota kappa",        # clean -> keep
+            "delta gamma beta alpha",           # same words, wrong order -> keep
+            "tiny doc",                         # < n tokens -> keep
+            "",                                 # empty -> keep
+        ], pa.string()),
+    }))
+    eval_ds = rd.from_arrow(pa.table({
+        "text": pa.array(["xxx alpha beta gamma delta yyy"], pa.string()),
+    }))
+    out = decontaminate(corpus, eval_ds, text_col="text", n=4).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3, 4, 5]
