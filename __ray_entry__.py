@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clickdays_intersect_purchasedays": R.clickdays_intersect_purchasedays,
         "lang_modal_source": R.lang_modal_source,
         "decontaminated_docs": R.decontaminated_docs,
+        "embedding_outliers": R.embedding_outliers,
         "clickdays_except_purchasedays": R.clickdays_except_purchasedays,
         "cumulative_order_revenue": R.cumulative_order_revenue,
         "events_props_k_stats": R.events_props_k_stats,
@@ -309,6 +310,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(l_orderkey) AS BIGINT) AS n_lineitems
             FROM part LEFT JOIN lineitem ON l_partkey = p_partkey
             GROUP BY p_partkey, p_brand ORDER BY p_partkey
+        """,
+        "embedding_outliers": """
+            WITH ev AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings),
+            cent AS (
+              SELECT label, i, avg(v) AS c FROM ev GROUP BY label, i),
+            cos AS (
+              SELECT ev.vec_id, ev.label,
+                     sum(ev.v * cent.c)
+                       / (sqrt(sum(ev.v * ev.v)) * sqrt(sum(cent.c * cent.c)))
+                       AS cs
+              FROM ev JOIN cent ON cent.label = ev.label AND cent.i = ev.i
+              GROUP BY ev.vec_id, ev.label)
+            SELECT label, vec_id, round(cs, 6) AS cos_sim
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY label ORDER BY cs, vec_id) AS rk
+                  FROM cos)
+            WHERE rk <= 5 ORDER BY label, cos_sim, vec_id
         """,
         "decontaminated_docs": """
             WITH toks AS (

@@ -1615,3 +1615,84 @@ def decontaminated_docs(sf_dir: str) -> pd.DataFrame:
            .select_columns(["doc_id", "lang"]).to_pandas())
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def embedding_outliers(sf_dir: str) -> pd.DataFrame:
+    """Embedding-space outlier detection: the 5 vectors per label with
+    the LOWEST cosine similarity to their label's centroid — the
+    standard "drop mislabeled / off-distribution examples" screen a
+    training-data pipeline runs over an embedded corpus.
+
+    Scale shape: pass 1 reduces each batch to ONE (sum-vector, count)
+    partial per label (same shape as `label_centroids` — the shuffle
+    moves |labels|·dim floats, never embeddings); the tiny centroid
+    table is collected and broadcast via ``ray.put``.  Pass 2 streams
+    the embeddings once, computing cosines vectorized per batch and
+    keeping only a per-batch bottom-5 per label map-side, so the final
+    groupby merges ≤ 5·|labels| rows per batch (mergeable min-k, the
+    `sampled_docs_per_lang` discipline)."""
+    K = 5
+    ds = _t(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def cent_partials(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        flat = batch["embedding"].combine_chunks()
+        mat = flat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(len(lab), -1)
+        labels, sums, ns = [], [], []
+        for lb in np.unique(lab):
+            m = lab == lb
+            labels.append(int(lb))
+            sums.append(mat[m].sum(axis=0).tolist())
+            ns.append(int(m.sum()))
+        return pa.table({
+            "label": pa.array(labels, pa.int64()),
+            "sums": pa.array(sums, pa.list_(pa.float64())),
+            "n": pa.array(ns, pa.int64()),
+        })
+
+    def cent_merge(g: pd.DataFrame) -> pd.DataFrame:
+        total = np.sum(np.stack([np.asarray(s) for s in g["sums"]]), axis=0)
+        return pd.DataFrame({
+            "label": [int(g["label"].iloc[0])],
+            "centroid": [(total / g["n"].sum()).tolist()],
+        })
+
+    cent_df = (ds.map_batches(cent_partials, batch_format="pyarrow")
+               .groupby("label").map_groups(cent_merge, batch_format="pandas")
+               .to_pandas())
+    cent_ref = ray.put({int(r.label): np.asarray(r.centroid)
+                        for r in cent_df.itertuples()})
+
+    def batch_bottomk(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        flat = batch["embedding"].combine_chunks()
+        mat = flat.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        mat = mat.reshape(len(lab), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        out_v, out_l, out_c = [], [], []
+        for lb in np.unique(lab):
+            m = lab == lb
+            c = cents[int(lb)]
+            cos = (mat[m] @ c) / (norms[m] * np.linalg.norm(c))
+            order = np.lexsort((vid[m], cos))[:K]
+            out_v.extend(vid[m][order])
+            out_l.extend([int(lb)] * len(order))
+            out_c.extend(cos[order])
+        return pa.table({
+            "vec_id": pa.array(out_v, pa.int64()),
+            "label": pa.array(out_l, pa.int64()),
+            "cos_sim": pa.array(out_c, pa.float64()),
+        })
+
+    def final_bottomk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cos_sim", "vec_id"], kind="mergesort").iloc[:K]
+        return g.assign(cos_sim=_round_away(g["cos_sim"], 6))
+
+    out = (ds.map_batches(batch_bottomk, batch_format="pyarrow")
+           .groupby("label").map_groups(final_bottomk, batch_format="pandas")
+           .to_pandas())
+    out = out[["label", "vec_id", "cos_sim"]]
+    return out.sort_values(["label", "cos_sim", "vec_id"]).reset_index(drop=True)
