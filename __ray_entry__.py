@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_priority_pivot": R.segment_priority_pivot,
         "lineitem_price_qty_corr": R.lineitem_price_qty_corr,
         "events_user_gaps": R.events_user_gaps,
+        "events_moving_avg": R.events_moving_avg,
+        "latest_event_per_user": R.latest_event_per_user,
         # events / windows / set ops / as-of
         "events_hourly": R.events_hourly,
         "events_sliding": R.events_sliding,
@@ -127,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": R.doc_repetition,
         "dataset_split": R.dataset_split,
         "packing_plan": R.packing_plan,
+        "unigram_logprob": R.unigram_logprob,
+        "quality_gate_p75": R.quality_gate_p75,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
         "label_centroids": R.label_centroids,
@@ -331,6 +335,34 @@ def oracle_sql() -> dict[str, str]:
                       PARTITION BY label ORDER BY cs, vec_id) AS rk
                   FROM cos)
             WHERE rk <= 5 ORDER BY label, cos_sim, vec_id
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+            FROM toks JOIN cnt USING (w) CROSS JOIN tot
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "events_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS w3_avg
+            FROM events ORDER BY event_id
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+                   event_type AS last_type, value AS last_value
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id
         """,
         "decontaminated_docs": """
             WITH toks AS (
@@ -785,6 +817,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.doc_id, q.quality, p.pred_lang
             FROM pred p JOIN qual q ON p.doc_id = q.doc_id
             ORDER BY p.doc_id
+        """,
+        "quality_gate_p75": "WITH pre AS (SELECT 1)"
+        + _quality_sql_select() + """
+            , scored AS (
+              SELECT d.doc_id, d.lang, q.quality
+              FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
+            thr AS (
+              SELECT lang, quantile_disc(quality, 0.75) AS p75
+              FROM scored GROUP BY lang)
+            SELECT s.doc_id, s.lang, s.quality
+            FROM scored s JOIN thr ON s.lang = thr.lang
+            WHERE s.quality > thr.p75
+            ORDER BY s.doc_id
         """,
         "ngram_jaccard": """
             WITH g AS (

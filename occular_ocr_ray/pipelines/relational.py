@@ -1696,3 +1696,167 @@ def embedding_outliers(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     out = out[["label", "vec_id", "cos_sim"]]
     return out.sort_values(["label", "cos_sim", "vec_id"]).reset_index(drop=True)
+
+
+def unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Corpus unigram-LM scoring (the CCNet/Wenzek perplexity-proxy
+    quality filter, arXiv:1911.00359 family): per-document mean token
+    log-probability under the corpus's own unigram MLE distribution.
+
+    Scale shape mirrors ``tfidf_top_terms``: pass 1 pre-aggregates
+    (token, count) per batch so the ONLY shuffle moves partial count
+    rows (≪ token stream); the vocabulary log-prob table is broadcast
+    once via ``ray.put``; pass 2 streams the corpus embarrassingly
+    parallel.  At 100 TB the full vocab outgrows a broadcast — cap to
+    the top-K tokens by count (``topk_by_frequency``) and give OOV a
+    smoothed floor probability; uncapped here so the SQL oracle is an
+    exact replica."""
+    import math
+    from collections import Counter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for t in df["text"]:
+            counts.update((t or "").split())
+        return pd.DataFrame(
+            {"w": list(counts.keys()),
+             "c": np.fromiter(counts.values(), dtype=np.int64)}
+        )
+
+    cnt = (ds.map_batches(count_partials, batch_format="pandas")
+           .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas())
+    total = float(cnt["c"].sum())
+    logp_ref = ray.put(
+        {w: math.log(float(c) / total) for w, c in zip(cnt["w"], cnt["c"])}
+    )
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        logp = ray.get(logp_ref)
+        ids, ns, avgs = [], [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            words = (t or "").split()
+            if not words:
+                continue
+            ids.append(did)
+            ns.append(len(words))
+            avgs.append(float(np.mean([logp[w] for w in words])))
+        return pd.DataFrame(
+            {"doc_id": np.array(ids, dtype=np.int64),
+             "n_tokens": np.array(ns, dtype=np.int64),
+             "avg_logprob": _round_away(np.array(avgs), 6)}
+        )
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def quality_gate_p75(sf_dir: str) -> pd.DataFrame:
+    """Percentile-gated quality filter: keep documents whose quality
+    score is STRICTLY above their language's 75th percentile — the
+    compositional "top-quartile per stratum" gate a training-data
+    pipeline runs before sampling.
+
+    Scale shape: quality is scored in one streaming pass (per-doc
+    kernel); the per-lang p75 needs only the (lang, quality) projection
+    co-located — one tiny-row shuffle — and the resulting |langs|-row
+    threshold table is broadcast via ``ray.put`` for the final
+    embarrassingly-parallel filter pass.  Quantile index convention is
+    DuckDB ``quantile_disc`` (idx = ceil(q·n) − 1, integer arithmetic,
+    cf. ``order_price_quantiles``)."""
+    from ..functions.textstats import quality_score
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def scored(batch: pa.Table) -> pa.Table:
+        q = [quality_score(t) for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "quality": pa.array(q, pa.float64()),
+        })
+
+    qds = ds.map_batches(scored, batch_format="pyarrow")
+
+    def p75(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["quality"].to_numpy())
+        n = len(v)
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "p75": [float(v[max(0, (3 * n + 3) // 4 - 1)])],
+        })
+
+    thr = (qds.select_columns(["lang", "quality"])
+           .groupby("lang").map_groups(p75, batch_format="pandas").to_pandas())
+    thr_ref = ray.put(dict(zip(thr["lang"], thr["p75"])))
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        keep = df[df["quality"] > df["lang"].map(t)]
+        return keep[["doc_id", "lang", "quality"]]
+
+    out = qds.map_batches(gate, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Bounded-frame window aggregate (ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): per-user 3-event moving average of ``value`` in
+    (ts, event_id) order — the §2.8 ordered-window family member the
+    tumbling/sliding/session trio doesn't cover.  One shuffle keyed by
+    user (same discipline as ``user_sessions``); the sum is computed
+    as an explicit 3-term shift-add, not a running subtract-add, so no
+    float drift accumulates along long groups."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        v = g["value"].to_numpy(dtype=np.float64)
+        n = len(v)
+        s = v.copy()
+        if n > 1:
+            s[1:] += v[:-1]
+        if n > 2:
+            s[2:] += v[:-2]
+        k = np.minimum(np.arange(n) + 1, 3)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "w3_avg": _round_away(s / k, 6),
+        })
+
+    out = (ds.groupby("user_id").map_groups(win, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
+    """Argmax-per-group (last event by (ts, event_id) per user) via a
+    MERGEABLE map-side reduction: each batch collapses to ≤1 row per
+    user before the shuffle, so the exchange moves |users|·|batches|
+    candidate rows, never the event stream — the grouped-argmax
+    discipline (take-latest is associative under (ts, event_id) max)."""
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def take_last(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"], kind="mergesort")
+        last = df.drop_duplicates(subset="user_id", keep="last")
+        return pd.DataFrame({
+            "user_id": last["user_id"].to_numpy(),
+            "last_ts": last["ts"].to_numpy(),
+            "last_event_id": last["event_id"].to_numpy(),
+            "last_type": last["event_type"],
+            "last_value": last["value"].to_numpy(),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["last_ts", "last_event_id"], kind="mergesort")
+        return g.iloc[[-1]]
+
+    out = (ds.map_batches(take_last, batch_format="pandas")
+           .groupby("user_id").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    out["last_event_id"] = out["last_event_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
