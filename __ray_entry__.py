@@ -149,7 +149,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": R.media_decode_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
         "corpus_pipeline": _corpus_pipeline,
+        # continuous crawl ingestion (increments → cross-run dedup → corpus)
+        "crawl_ingest": _crawl_ingest,
     }
+
+
+def _crawl_ingest(sf_dir: str) -> Any:
+    from occular_ocr_ray.pipelines.crawl_ingest import crawl_ingest_q
+
+    return crawl_ingest_q(sf_dir)
 
 
 def _corpus_pipeline(sf_dir: str) -> Any:
@@ -355,6 +363,18 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS w3_avg
             FROM events ORDER BY event_id
+        """,
+        "crawl_ingest": """
+            SELECT 'inc1' AS increment,
+                   CAST(count(DISTINCT text) AS BIGINT) AS admitted
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'inc2',
+                   CAST(count(DISTINCT text) AS BIGINT)
+            FROM documents
+            WHERE doc_id % 3 = 0
+              AND text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+            ORDER BY increment
         """,
         "latest_event_per_user": """
             SELECT user_id, ts AS last_ts, event_id AS last_event_id,
