@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packing_plan": R.packing_plan,
         "unigram_logprob": R.unigram_logprob,
         "quality_gate_p75": R.quality_gate_p75,
+        "repeated_spans": R.repeated_spans,
+        "span_dedup_stats": R.span_dedup_stats,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
         "label_centroids": R.label_centroids,
@@ -356,6 +358,55 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
             FROM toks JOIN cnt USING (w) CROSS JOIN tot
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "repeated_spans": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS a
+              FROM documents),
+            pos AS (
+              SELECT doc_id, array_to_string(a[i : i + 7], ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(a) - 8 + 1)) AS u(i)),
+            cnt AS (SELECT gram, count(*) AS c FROM pos GROUP BY gram)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                   CAST(count(*) FILTER (c >= 2) AS BIGINT) AS n_dup
+            FROM pos JOIN cnt USING (gram)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "span_dedup_stats": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 x -> x <> '') AS a
+              FROM documents),
+            pos AS (
+              SELECT doc_id, i, array_to_string(a[i : i + 7], ' ') AS gram
+              FROM toks, unnest(generate_series(1, len(a) - 8 + 1)) AS u(i)),
+            rem AS (
+              SELECT doc_id, i AS s, i + 8 AS e
+              FROM (SELECT doc_id, i, row_number() OVER (
+                        PARTITION BY gram ORDER BY doc_id, i) AS rn,
+                        count(*) OVER (PARTITION BY gram) AS c
+                    FROM pos)
+              WHERE c >= 2 AND rn > 1),
+            o AS (
+              SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM rem),
+            isl AS (
+              SELECT doc_id, s, e,
+                     sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e) AS isl_id
+              FROM o),
+            merged AS (
+              SELECT doc_id, min(s) AS s, max(e) AS e
+              FROM isl GROUP BY doc_id, isl_id)
+            SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS n_removed_tokens
+            FROM merged GROUP BY doc_id ORDER BY doc_id
         """,
         "events_moving_avg": """
             SELECT event_id, user_id,

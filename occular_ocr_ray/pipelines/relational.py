@@ -1860,3 +1860,68 @@ def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     out["last_event_id"] = out["last_event_id"].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def repeated_spans(sf_dir: str) -> pd.DataFrame:
+    """Cross-corpus repeated-window census (the ExactSubstr screen of
+    Lee et al. 2107.06499, stats form): for every document with ≥1
+    8-token window, how many of its windows occur ≥2 times anywhere in
+    the corpus (any doc, including itself).
+
+    Scale shape: windows flat-map to (gram-hash, doc, pos) rows — the
+    honest O(tokens) cost of substring dedup — through ONE hash-keyed
+    groupby; per-gram groups reduce to (doc, count) partials, a doc-
+    keyed Sum merges them, and the per-doc base joins via the bucketed
+    exchange (``stages.joins``), never a broadcast of a corpus-sized
+    side."""
+    from ..stages import joins
+    from ..stages.span_dedup import span_occurrences
+
+    W = 8
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def base(b: pa.Table) -> pa.Table:
+        n = [len((t or "").split()) - W + 1 for t in b["text"].to_pylist()]
+        t = pa.table({"doc_id": b["doc_id"],
+                      "n_windows": pa.array(n, pa.int64())})
+        return t.filter(pc.greater(t["n_windows"], 0))
+
+    base_ds = ds.map_batches(base, batch_format="pyarrow")
+
+    def dup_counts(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_dup": pd.Series([], dtype=np.int64)})
+        c = g.groupby("doc_id").size()
+        return pd.DataFrame({"doc_id": c.index.to_numpy(np.int64),
+                             "n_dup": c.to_numpy(np.int64)})
+
+    dup = (span_occurrences(ds, w=W).groupby("h")
+           .map_groups(dup_counts, batch_format="pandas")
+           .groupby("doc_id").aggregate(Sum("n_dup", alias_name="n_dup")))
+
+    out = joins.bucketed_hash_join(
+        base_ds, dup, left_on="doc_id", right_on="doc_id",
+        join_type="left outer",
+    ).to_pandas()
+    out["n_dup"] = out["n_dup"].fillna(0).astype(np.int64)
+    out = out[["doc_id", "n_windows", "n_dup"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def span_dedup_stats(sf_dir: str) -> pd.DataFrame:
+    """Span-level dedup applied (``stages.span_dedup.dedup_spans``,
+    w=8): per affected document, how many tokens the rewrite removed
+    (every re-occurrence of a duplicated 8-token window beyond its
+    global keeper, overlaps merged).  The SQL oracle independently
+    re-derives keeper choice (ROW_NUMBER over (doc, pos)) and interval
+    merging (gaps-and-islands) — semantic, not pinned."""
+    from ..stages.span_dedup import dedup_spans
+
+    W = 8
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = (dedup_spans(ds, w=W)
+           .select_columns(["doc_id", "n_removed_tokens"]).to_pandas())
+    out = out[out["n_removed_tokens"] > 0]
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -55,11 +55,16 @@ def _arrow_schema(ds) -> pa.Schema:
     pyarrow batch format will deliver (object → string — feed
     Arrow-native datasets for exotic object columns)."""
     s = ds.schema(fetch_if_missing=True)
+    if s is None:  # fully-empty dataset: nothing executed a block
+        raise ValueError(
+            "cannot infer the schema of an empty dataset — pass it "
+            "explicitly (left_schema=/right_schema=)"
+        )
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
     fields = []
-    for name, typ in zip(s.names, base.types):
+    for name, typ in zip(s.names, s.types):
         if isinstance(typ, pa.DataType):
             fields.append((name, typ))
         elif getattr(typ, "kind", "O") == "O":
@@ -122,6 +127,8 @@ def bucketed_hash_join(
     right_on: str,
     num_buckets: int | None = None,
     join_type: str = "inner",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Join left ⋈ right on integer keys (``join_type``: "inner",
     "left outer" or "full outer").  Returns a Dataset with left's
@@ -130,13 +137,16 @@ def bucketed_hash_join(
     match carry nulls in the other side's columns — the same bucket
     exchange serves every type, since a row's match can only live in
     its own bucket (full outer included: an unmatched right row
-    surfaces from exactly the bucket its key hashed to)."""
+    surfaces from exactly the bucket its key hashed to).  Pass
+    ``left_schema``/``right_schema`` when a side can be empty — schema
+    inference on an empty dataset has nothing to execute."""
     if join_type not in ("inner", "left outer", "full outer"):
         raise ValueError(f"unsupported join_type {join_type!r}")
     if num_buckets is None:
         num_buckets = _default_num_buckets()
     tagged, lschema, rschema = _tagged_bucket_union(
-        left, right, left_on, right_on, num_buckets
+        left, right, left_on, right_on, num_buckets,
+        lschema=left_schema, rschema=right_schema,
     )
     lnames, rnames = list(lschema.names), list(rschema.names)
     lset = set(lnames)

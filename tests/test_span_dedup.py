@@ -1,0 +1,80 @@
+"""Span-level dedup semantics (stages/span_dedup.py): keeper survives,
+re-occurrences are removed, overlaps merge, clean docs pass through."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from occular_ocr_ray.stages.span_dedup import (
+    dedup_spans,
+    dup_span_intervals,
+    removable_occurrences,
+    span_occurrences,
+)
+
+pytestmark = pytest.mark.usefixtures("ray_session")
+
+BLOCK = "alpha bravo charlie delta echo foxtrot"  # 6 tokens
+
+
+def _docs(rows):
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def _result(ds) -> dict[int, tuple[str, int]]:
+    df = ds.to_pandas()
+    return {int(r.doc_id): (r.text, int(r.n_removed_tokens))
+            for r in df.itertuples()}
+
+
+def test_cross_doc_block_survives_exactly_once():
+    rows = [
+        {"doc_id": 1, "text": f"one two three {BLOCK} four five"},
+        {"doc_id": 2, "text": f"six seven {BLOCK} eight nine ten"},
+        {"doc_id": 3, "text": "lonely words with no duplication at all"},
+    ]
+    out = _result(dedup_spans(_docs(rows), w=4))
+    # keeper = min (doc_id, pos): doc 1 keeps the block
+    assert out[1] == (rows[0]["text"], 0)
+    assert out[2] == ("six seven eight nine ten", 6)
+    assert out[3] == (rows[2]["text"], 0)
+    # the block text survives exactly once across the corpus
+    assert sum(BLOCK in t for t, _ in out.values()) == 1
+
+
+def test_same_doc_repeat_removed():
+    text = f"{BLOCK} intermezzo {BLOCK}"
+    out = _result(dedup_spans(_docs([{"doc_id": 7, "text": text}]), w=4))
+    assert out[7] == (f"{BLOCK} intermezzo", 6)
+
+
+def test_overlapping_windows_merge_to_one_interval():
+    rows = [
+        {"doc_id": 1, "text": BLOCK},
+        {"doc_id": 2, "text": f"pre {BLOCK} post"},
+    ]
+    ds = _docs(rows)
+    occ = span_occurrences(ds, w=4)
+    iv = dup_span_intervals(removable_occurrences(occ), w=4).to_pandas()
+    assert len(iv) == 1  # only doc 2 has removals
+    assert iv["doc_id"].iloc[0] == 2
+    assert iv["starts"].iloc[0] == [1] and iv["ends"].iloc[0] == [7]
+
+
+def test_short_docs_emit_no_windows():
+    ds = _docs([{"doc_id": 1, "text": "too short"},
+                {"doc_id": 2, "text": ""}])
+    assert span_occurrences(ds, w=4).count() == 0
+    out = _result(dedup_spans(ds, w=4))
+    assert out[1] == ("too short", 0) and out[2] == ("", 0)
+
+
+def test_partitioning_invariance():
+    rows = [{"doc_id": i, "text": f"filler{i} {BLOCK} tail{i} extra{i}"}
+            for i in range(1, 9)]
+    a = _result(dedup_spans(_docs(rows), w=4, num_buckets=2))
+    b = _result(dedup_spans(_docs(rows).repartition(5), w=4, num_buckets=7))
+    assert a == b
+    assert a[1][1] == 0 and all(a[i][1] == 6 for i in range(2, 9))
