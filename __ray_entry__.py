@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate_p75": R.quality_gate_p75,
         "repeated_spans": R.repeated_spans,
         "span_dedup_stats": R.span_dedup_stats,
+        "supplier_pagerank": R.supplier_pagerank,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
         "label_centroids": R.label_centroids,
@@ -253,6 +254,44 @@ def _quality_sql_select() -> str:
     )"""
 
 
+def _pagerank_sql(iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank replica (recursive CTEs can't
+    aggregate in the recursive term, so the power iterations unroll as
+    chained CTEs — exact same arithmetic as the Ray loop: per-edge
+    r/d, per-dst sum, 0.15/N + 0.85·contrib)."""
+    head = """
+    WITH e0 AS (
+      SELECT 2*o_custkey AS c, 2*l_suppkey + 1 AS s
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM e0
+              UNION ALL SELECT s, c FROM e0),
+    outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+               FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS n FROM edges),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes),
+    r0 AS (SELECT n, CAST(1 AS DOUBLE) / nn.cnt AS r
+           FROM nodes CROSS JOIN nn)"""
+    step = """
+    , r{k} AS (
+      SELECT nodes.n,
+             0.15::DOUBLE / nn.cnt
+               + 0.85::DOUBLE * COALESCE(s.contrib, 0.0::DOUBLE) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS n, sum(p.r / od.d) AS contrib
+        FROM edges e JOIN r{prev} p ON p.n = e.src
+                     JOIN outdeg od ON od.src = e.src
+        GROUP BY e.dst) s ON s.n = nodes.n)"""
+    body = "".join(step.format(k=k, prev=k - 1)
+                   for k in range(1, iters + 1))
+    tail = f"""
+    SELECT CASE WHEN n % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           n // 2 AS key, round(r, 8) AS pr
+    FROM r{iters} ORDER BY node_type, key"""
+    return head + body + tail
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -359,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
             FROM toks JOIN cnt USING (w) CROSS JOIN tot
             GROUP BY doc_id ORDER BY doc_id
         """,
+        "supplier_pagerank": _pagerank_sql(3),
         "repeated_spans": """
             WITH toks AS (
               SELECT doc_id,
