@@ -24,13 +24,18 @@ Design:
   md5 map-side, groups digests per shard, and makes ONE call per shard
   per batch (not per row).  Admission is first-writer-wins and
   RETRY-IDEMPOTENT: each admission records the admitting batch's
-  content key — the blake2b of the WHOLE batch's ordered fingerprint
-  list, computed once and sent to every shard — so a Ray task retry
-  (same batch content) gets its original True answers back instead of
-  losing the batch's unique rows.  (Two *distinct* batches share a key
-  only if their full fingerprint sequences are identical —
-  content-identical batches, so dedup quality degrades by at most that
-  one batch, never data loss.)
+  key — the blake2b of a per-``dedup()``-call nonce plus the WHOLE
+  batch's ordered fingerprint list, computed once and sent to every
+  shard.  A Ray task retry re-runs the same serialized closure (same
+  nonce) over the same batch → identical key → its original True
+  answers come back instead of losing the batch's unique rows.  The
+  nonce scopes that privilege to ONE ``dedup()`` call: a later call
+  replaying identical content (e.g. a re-crawled increment) is NOT a
+  retry and deduplicates normally — without the nonce, a full-batch
+  content replay is indistinguishable from a retry and silently
+  re-admits.  (Within one call, two *distinct* batches share a key
+  only if their full fingerprint sequences are identical, so dedup
+  quality degrades by at most that one batch, never data loss.)
 - ``dedup`` returns a MATERIALIZED Dataset: the filter is a
   side-effecting read-modify-write of the index, so a lazy result would
   re-execute on every consumption and return zero rows the second time.
@@ -171,7 +176,14 @@ class IncrementalDeduper:
         ]
 
     def _filter_fn(self):
+        import os
+
         shards, n, text_col = self.shards, self.num_shards, self.text_col
+        # Scopes retry idempotency to THIS dedup() call: Ray task retries
+        # re-run the same serialized closure and reproduce the key, but a
+        # later dedup() call replaying identical batch content gets a new
+        # nonce and is treated as a duplicate, not a retry.
+        nonce = os.urandom(16)
 
         def f(batch: pa.Table) -> pa.Table:
             texts = batch[text_col].to_pylist()
@@ -182,15 +194,18 @@ class IncrementalDeduper:
                 s = int.from_bytes(fp[:8], "little") % n
                 by_shard.setdefault(s, []).append(i)
             keep = [False] * len(fps)
-            # batch identity = the WHOLE batch's ordered fingerprint
-            # list, derived once and sent to every shard: a task retry
-            # recomputes the identical key, while two distinct batches
-            # collide only if their full fingerprint sequences coincide
-            # (content-identical batches — dedup quality unaffected).
-            # A per-shard sublist key would make e.g. any two batches
-            # that each route a single duplicate fp to some shard look
-            # like retries of each other there, re-admitting the dup.
-            bkey = hashlib.blake2b(b"".join(fps), digest_size=16).digest()
+            # batch identity = call nonce + the WHOLE batch's ordered
+            # fingerprint list, derived once and sent to every shard: a
+            # task retry recomputes the identical key, while two distinct
+            # batches collide only if they carry identical fingerprint
+            # sequences within the SAME dedup() call.  A per-shard
+            # sublist key would make e.g. any two batches that each
+            # route a single duplicate fp to some shard look like
+            # retries of each other there, re-admitting the dup; a
+            # nonce-free whole-batch key would make a content replay in
+            # a LATER call (re-crawled increment) look like a retry.
+            bkey = hashlib.blake2b(nonce + b"".join(fps),
+                                   digest_size=16).digest()
             refs, owners = [], []
             for s, idxs in by_shard.items():
                 sub = [fps[i] for i in idxs]

@@ -587,6 +587,24 @@ def test_incremental_dedup_batch_key_is_whole_batch():
         dd.shutdown()
 
 
+def test_incremental_dedup_content_replay_is_not_a_retry():
+    """A LATER dedup() call replaying byte-identical batch content (a
+    re-crawled increment) must deduplicate to zero — only Ray task
+    retries within one call (same closure nonce) get their original
+    admissions back.  Regression: a nonce-free whole-batch key made the
+    replay indistinguishable from a retry and re-admitted everything."""
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    rows = [(1, "rep-a"), (2, "rep-b"), (3, "rep-c")]
+    dd = IncrementalDeduper(num_shards=4)
+    try:
+        assert dd.dedup(_docs_ds(rows)).count() == 3
+        assert dd.dedup(_docs_ds(rows)).count() == 0  # identical batches
+        assert dd.index_size() == 3
+    finally:
+        dd.shutdown()
+
+
 def test_incremental_dedup_named_index_reattach():
     """A named index is detached: a second handle with the same name
     attaches to the SAME shards (simulating a restarted ingest driver)."""
@@ -626,24 +644,31 @@ def test_incremental_index_snapshot_restore(tmp_path):
     assert dd.save(snap) == 2
     dd.shutdown()  # cluster restart: all shard actors gone
 
-    dd2 = IncrementalDeduper.load(snap)
+    dd2 = dd3 = None
     try:
+        dd2 = IncrementalDeduper.load(snap)
         assert dd2.index_size() == 2
         out = dd2.dedup(_docs_ds([(3, "mon-a"), (4, "tue-c")])).to_pandas()
         assert sorted(out["doc_id"]) == [4]  # mon-a still dropped
         assert dd2.index_size() == 3
-        # retry idempotency across the snapshot: replaying an admission
-        # with its original batch key reproduces the original answers
-        import hashlib
-
-        fp = hashlib.md5(b"mon-a").digest()
-        shard = dd2.shards[int.from_bytes(fp[:8], "little") % 3]
-        key = hashlib.blake2b(
-            b"".join(hashlib.md5(t.encode()).digest() for t in ("mon-a", "mon-b")),
-            digest_size=16).digest()
-        assert ray.get(shard.admit.remote([fp], key)) == [True]
-    finally:
+        # retry idempotency across the snapshot: batch keys are persisted
+        # with the fingerprints, so an admission replayed with its
+        # original key (a task retry surviving a save/load cycle)
+        # reproduces the original answers, while any other key does not
+        fp_new = b"z" * 16
+        shard0 = dd2.shards[int.from_bytes(fp_new[:8], "little") % 3]
+        assert ray.get(shard0.admit.remote([fp_new], b"keyR")) == [True]
+        snap2 = snap + "2"
+        dd2.save(snap2)
         dd2.shutdown()
+        dd3 = IncrementalDeduper.load(snap2)
+        shard0 = dd3.shards[int.from_bytes(fp_new[:8], "little") % 3]
+        assert ray.get(shard0.admit.remote([fp_new], b"keyR")) == [True]
+        assert ray.get(shard0.admit.remote([fp_new], b"keyS")) == [False]
+    finally:
+        for h in (dd2, dd3):
+            if h is not None:
+                h.shutdown()
 
 
 def test_incremental_named_index_shard_count_guard():
