@@ -134,6 +134,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_spans": R.repeated_spans,
         "span_dedup_stats": R.span_dedup_stats,
         "supplier_pagerank": R.supplier_pagerank,
+        "vocab_build": R.vocab_build,
+        "inverted_index_heads": R.inverted_index_heads,
+        "weighted_sample": R.weighted_sample,
+        "epoch_shuffle": R.epoch_shuffle,
+        # events: cohort / funnel analytics
+        "cohort_retention": R.cohort_retention,
+        "funnel_stages": R.funnel_stages,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
         "label_centroids": R.label_centroids,
@@ -399,6 +406,101 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        "vocab_build": """
+            WITH docs AS (SELECT trim(text) AS t FROM documents),
+            words AS (
+              SELECT unnest(string_split_regex(t, '\\s+')) AS w
+              FROM docs WHERE t IS NOT NULL AND t <> ''
+            ),
+            cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                    FROM words GROUP BY w HAVING count(*) >= 5)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) - 1
+                        AS BIGINT) AS token_id,
+                   w AS token, freq
+            FROM cnt ORDER BY token_id LIMIT 256
+        """,
+        "inverted_index_heads": """
+            WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+            w0 AS (
+              SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS w
+              FROM docs WHERE t IS NOT NULL AND t <> ''
+            ),
+            words AS (SELECT DISTINCT doc_id, w FROM w0),
+            ranked AS (
+              SELECT w, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id) AS rk,
+                     CAST(count(*) OVER (PARTITION BY w) AS BIGINT) AS df
+              FROM words
+            )
+            SELECT w AS term, any_value(df) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                     AS postings_head
+            FROM ranked WHERE rk <= 16
+            GROUP BY w ORDER BY term
+        """,
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     ln(((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+                         + 0.5) / 4294967296.0)
+                       / n_chars AS k
+              FROM documents WHERE n_chars > 0
+            )
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars FROM keyed
+              ORDER BY k DESC, doc_id LIMIT 50
+            ) ORDER BY doc_id
+        """,
+        "epoch_shuffle": """
+            WITH keyed AS (
+              SELECT e.epoch, doc_id,
+                     ((CAST(doc_id AS HUGEINT) + e.epoch) * 2654435761)
+                       % 4294967296 AS h
+              FROM documents, (SELECT 0 AS epoch UNION ALL SELECT 1) e
+            )
+            SELECT epoch, CAST(ROW_NUMBER() OVER (
+                     PARTITION BY epoch ORDER BY h, doc_id) - 1 AS BIGINT)
+                     AS position,
+                   doc_id
+            FROM keyed
+            QUALIFY position < 20
+            ORDER BY epoch, position
+        """,
+        "cohort_retention": """
+            WITH wk AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+              FROM events
+            ),
+            fw AS (SELECT user_id, min(week) AS cohort_week
+                   FROM wk GROUP BY user_id)
+            SELECT fw.cohort_week,
+                   wk.week - fw.cohort_week AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM wk JOIN fw USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "funnel_stages": """
+            WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS t2
+                  FROM events e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click'
+                    AND e.ts >= v.t1 AND e.ts < v.t1 + INTERVAL 72 HOUR
+                  GROUP BY e.user_id),
+            p AS (SELECT DISTINCT e.user_id
+                  FROM events e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase'
+                    AND e.ts >= c.t2 AND e.ts < c.t2 + INTERVAL 72 HOUR)
+            SELECT stage, n_users FROM (
+              SELECT 'view' AS stage,
+                     CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT 'click_72h', CAST((SELECT count(*) FROM c) AS BIGINT)
+              UNION ALL
+              SELECT 'purchase_72h', CAST((SELECT count(*) FROM p) AS BIGINT)
+            ) WHERE n_users > 0 ORDER BY stage
+        """,
         "repeated_spans": """
             WITH toks AS (
               SELECT doc_id,

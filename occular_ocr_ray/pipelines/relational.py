@@ -2020,3 +2020,250 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
     out["pr"] = _round_away(out["r"], 8)
     out = out[["node_type", "key", "pr"]]
     return out.sort_values(["node_type", "key"]).reset_index(drop=True)
+
+
+def vocab_build(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer-vocabulary build: corpus-wide token frequencies →
+    frequency cutoff → contiguous token ids by (freq DESC, token ASC),
+    capped at V — the BPE-initialization / id-assignment step of a
+    training tokenizer, as a pipeline.
+
+    Scale shape: token counts pre-aggregate map-side (one Counter per
+    batch), the word-keyed groupby moves partial rows ≪ the token
+    stream, the cutoff prunes the long tail BEFORE the sort, and only
+    the surviving vocabulary (≤ V after limit) is ordered.  Id
+    assignment happens on the collected ≤ V-row result — bounded by
+    construction, never the corpus."""
+    from collections import Counter
+
+    MIN_FREQ, V = 5, 256
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def tok_partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for t in df["text"]:
+            counts.update((t or "").split())
+        return pd.DataFrame({"w": list(counts.keys()),
+                             "freq": np.fromiter(counts.values(), dtype=np.int64)})
+
+    cnt = _partial_groupby(ds, ["w"], tok_partials, [("freq", "i")])
+    cnt = cnt.map_batches(lambda df: df[df["freq"] >= MIN_FREQ],
+                          batch_format="pandas")
+    top = cnt.sort(["freq", "w"], descending=[True, False]).limit(V)
+    out = top.to_pandas()
+    out["freq"] = out["freq"].astype(np.int64)
+    out["token_id"] = np.arange(len(out), dtype=np.int64)
+    out = out.rename(columns={"w": "token"})
+    return out[["token_id", "token", "freq"]]
+
+
+def inverted_index_heads(sf_dir: str) -> pd.DataFrame:
+    """Inverted-index build (posting-list heads): term → document
+    frequency + the first ``HEAD`` doc_ids containing it — the text
+    retrieval / contamination-lookup structure, built as one token
+    shuffle.
+
+    Scale shape: per-batch each doc contributes each distinct term once
+    (set semantics map-side), the df count is a mergeable Sum, and the
+    posting HEAD is a mergeable min-k: each batch forwards only its own
+    k smallest doc_ids per term, so the term-keyed exchange moves
+    O(k·vocab) rows per batch — never full postings.  Full posting
+    lists at web scale would instead write one parquet partition per
+    term bucket (same exchange, sink swapped)."""
+    HEAD = 16
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    # The head min-k and the df count have different merge semantics but
+    # share one term-keyed exchange: each batch emits its per-term head
+    # rows (doc_id ≥ 0) plus ONE df-partial row per term (doc_id = -1
+    # sentinel carrying the batch's full per-term doc count).
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        w_out, id_out = [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            for w in set((t or "").split()):
+                w_out.append(w)
+                id_out.append(did)
+        out = pd.DataFrame({"w": w_out,
+                            "doc_id": np.array(id_out, dtype=np.int64)})
+        heads = (out.sort_values(["w", "doc_id"], kind="mergesort")
+                    .groupby("w", as_index=False).head(HEAD))
+        heads = heads.assign(df=np.int64(0))
+        dfp = out.groupby("w", as_index=False).size()
+        dfp = pd.DataFrame({"w": dfp["w"], "doc_id": np.int64(-1),
+                            "df": dfp["size"].astype(np.int64)})
+        return pd.concat([heads, dfp], ignore_index=True)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        df_total = int(g["df"].sum())
+        ids = np.sort(g.loc[g["doc_id"] >= 0, "doc_id"]
+                       .to_numpy(dtype=np.int64))[:HEAD]
+        return pd.DataFrame({
+            "term": [g["w"].iloc[0]],
+            "df": np.array([df_total], dtype=np.int64),
+            "postings_head": [",".join(str(i) for i in ids)],
+        })
+
+    out = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby("w")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("term").reset_index(drop=True)
+
+
+def cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week
+    (epoch-week = floor(unix seconds / 604800) — calendar-free, so the
+    bucketing is a pure integer map), counted by distinct active
+    (user, week) against their cohort week.
+
+    Scale shape: ONE user-keyed exchange — per-user groups compute the
+    cohort week and distinct activity weeks locally and emit (cohort,
+    offset) rows, which pre-aggregate map-side before the tiny
+    (cohort, offset) groupby.  No events⋈first-week join materializes:
+    the per-user group IS the join."""
+    WEEK_NS = 604800 * 1_000_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def to_weeks(df: pd.DataFrame) -> pd.DataFrame:
+        wk = (df["ts"].astype("datetime64[ns]").astype(np.int64)
+              // WEEK_NS).astype(np.int64)
+        return pd.DataFrame({"user_id": df["user_id"].astype(np.int64),
+                             "week": wk}).drop_duplicates()
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        weeks = np.unique(g["week"].to_numpy(dtype=np.int64))
+        cohort = weeks.min()
+        return pd.DataFrame({
+            "cohort_week": np.full(len(weeks), cohort, dtype=np.int64),
+            "week_offset": weeks - cohort,
+        })
+
+    per = (ds.map_batches(to_weeks, batch_format="pandas")
+             .groupby("user_id").map_groups(per_user, batch_format="pandas"))
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(n_users=np.int64(1))
+        return df.groupby(["cohort_week", "week_offset"], as_index=False).agg(
+            n_users=("n_users", "sum"))
+
+    out = _partial_groupby(per, ["cohort_week", "week_offset"], partials,
+                           [("n_users", "i")]).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["cohort_week", "week_offset"]).reset_index(drop=True)
+
+
+def funnel_stages(sf_dir: str) -> pd.DataFrame:
+    """Ordered conversion funnel with per-step windows: first view →
+    first click within 72 h of it → any purchase within 72 h of that
+    click; counts distinct users surviving each stage.
+
+    Scale shape: one user-keyed exchange; each per-user group walks its
+    own (sorted) timeline, so no self-joins over the event log — the
+    grouped timeline IS the sequence operator (same discipline as
+    ``user_sessions`` / ``events_user_gaps``)."""
+    WINDOW_NS = 72 * 3600 * 1_000_000_000
+    ds = _t(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("datetime64[ns]").astype(np.int64).to_numpy()
+        et = g["event_type"].to_numpy()
+        views = ts[et == "view"]
+        if not len(views):
+            return pd.DataFrame({"stage": pd.Series([], dtype=object),
+                                 "n_users": pd.Series([], dtype=np.int64)})
+        t1 = views.min()
+        stages = ["view"]
+        clicks = ts[(et == "click") & (ts >= t1) & (ts < t1 + WINDOW_NS)]
+        if len(clicks):
+            t2 = clicks.min()
+            stages.append("click_72h")
+            buys = ts[(et == "purchase") & (ts >= t2) & (ts < t2 + WINDOW_NS)]
+            if len(buys):
+                stages.append("purchase_72h")
+        return pd.DataFrame({"stage": stages,
+                             "n_users": np.ones(len(stages), dtype=np.int64)})
+
+    per = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("stage", as_index=False).agg(n_users=("n_users", "sum"))
+
+    out = _partial_groupby(per, ["stage"], partials, [("n_users", "i")]).to_pandas()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("stage").reset_index(drop=True)
+
+
+def weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006,
+    Inf. Process. Lett. 97(5)): each doc gets key ln(u)/w with
+    u ∈ (0,1) a deterministic per-doc uniform (Knuth multiplicative
+    hash, midpoint-shifted so u is never 0 or 1) and w = n_chars; the
+    k largest keys ARE a weight-proportional sample without
+    replacement.  Deterministic ⇒ parallelism/partitioning-invariant
+    and exactly SQL-replicable, unlike seeded RNG sampling.
+
+    Scale shape: keys are a vectorized map; selection is a mergeable
+    top-k (each batch forwards only its own best k), so the driver
+    merges ≤ k rows per batch and the corpus never shuffles."""
+    K_SAMPLE = 50
+    K, M = np.uint64(2654435761), np.uint64(1 << 32)
+    ds = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        h = ((ids % M) * K) % M
+        u = (h.astype(np.float64) + 0.5) / float(M)
+        key = np.log(u) / df["n_chars"].to_numpy(dtype=np.float64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                            "n_chars": df["n_chars"].astype(np.int64),
+                            "key": key})
+        return (out.sort_values(["key", "doc_id"],
+                                ascending=[False, True], kind="mergesort")
+                   .head(K_SAMPLE))
+
+    merged = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    merged = (merged.sort_values(["key", "doc_id"],
+                                 ascending=[False, True], kind="mergesort")
+                    .head(K_SAMPLE))
+    out = merged[["doc_id", "n_chars"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def epoch_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-epoch global reshuffle — the training-loader
+    op that gives every epoch a different but REPRODUCIBLE document
+    order (hash of epoch+id, not a seeded RNG, so the order is
+    partitioning-invariant and any shard of it can be recomputed
+    independently).  Surfaces the first HEAD positions of two epochs.
+
+    Scale shape: the order key is a vectorized map; the per-epoch
+    head-of-order is a mergeable top-k (each batch forwards its k best
+    rows per epoch), so nothing global sorts at test scale.  A full
+    epoch layout at web scale is the same key + ``Dataset.sort`` —
+    one range-partitioned exchange per epoch, written back to parquet."""
+    HEAD = 20
+    EPOCHS = (0, 1)
+    K, M = np.uint64(2654435761), np.uint64(1 << 32)
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def local_heads(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.uint64)
+        outs = []
+        for ep in EPOCHS:
+            h = (((ids + np.uint64(ep)) % M) * K) % M
+            o = pd.DataFrame({"epoch": np.int64(ep),
+                              "doc_id": df["doc_id"].astype(np.int64),
+                              "h": h.astype(np.int64)})
+            outs.append(o.sort_values(["h", "doc_id"], kind="mergesort")
+                         .head(HEAD))
+        return pd.concat(outs, ignore_index=True)
+
+    merged = ds.map_batches(local_heads, batch_format="pandas").to_pandas()
+    merged = (merged.sort_values(["epoch", "h", "doc_id"], kind="mergesort")
+                    .groupby("epoch", as_index=False).head(HEAD))
+    merged["position"] = merged.groupby("epoch").cumcount().astype(np.int64)
+    out = merged[["epoch", "position", "doc_id"]]
+    return out.sort_values(["epoch", "position"]).reset_index(drop=True)
