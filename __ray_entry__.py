@@ -135,6 +135,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup_stats": R.span_dedup_stats,
         "supplier_pagerank": R.supplier_pagerank,
         "vocab_build": R.vocab_build,
+        "token_entropy": R.token_entropy,
+        "lang_robust_stats": R.lang_robust_stats,
+        "local_supplier_revenue": R.local_supplier_revenue,
         "inverted_index_heads": R.inverted_index_heads,
         "weighted_sample": R.weighted_sample,
         "epoch_shuffle": R.epoch_shuffle,
@@ -406,6 +409,39 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "supplier_pagerank": _pagerank_sql(3),
+        "token_entropy": """
+            WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),
+            words AS (
+              SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS w
+              FROM docs WHERE t IS NOT NULL AND t <> ''
+            ),
+            tf AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+                   FROM words GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+            SELECT doc_id,
+                   round(sum(-(c / n) * log2(c / n)), 6) AS token_entropy
+            FROM tf JOIN tot USING (doc_id)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "lang_robust_stats": """
+            SELECT lang,
+                   median(n_chars) AS median_chars,
+                   mad(n_chars) AS mad_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "local_supplier_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                           AND c_nationkey = s_nationkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
         "vocab_build": """
             WITH docs AS (SELECT trim(text) AS t FROM documents),
             words AS (

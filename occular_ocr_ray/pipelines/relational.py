@@ -2267,3 +2267,108 @@ def epoch_shuffle(sf_dir: str) -> pd.DataFrame:
     merged["position"] = merged.groupby("epoch").cumcount().astype(np.int64)
     out = merged[["epoch", "position", "doc_id"]]
     return out.sort_values(["epoch", "position"]).reset_index(drop=True)
+
+
+def token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document Shannon entropy (bits) of the token frequency
+    distribution — the repetition/diversity quality signal used beside
+    ``doc_repetition``'s TTR.  Pure per-doc map (no shuffle at all);
+    the kernel is a Counter + vectorized -Σ p·log2 p per document,
+    embarrassingly parallel over batches."""
+    from collections import Counter
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ents = [], []
+        for did, t in zip(df["doc_id"], df["text"]):
+            words = (t or "").split()
+            if not words:
+                continue
+            c = np.fromiter(Counter(words).values(), dtype=np.float64)
+            p = c / c.sum()
+            ids.append(did)
+            ents.append(float(-(p * np.log2(p)).sum()))
+        return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                             "token_entropy": _round_away(np.array(ents), 6)})
+
+    out = ds.map_batches(ent, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_robust_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-language robust location/scale of document length: median and
+    MAD (median absolute deviation), interpolated-median semantics
+    matching DuckDB ``median``/``mad``.
+
+    Scale shape: exact medians need the group co-located — one
+    lang-keyed exchange of (lang, n_chars) pairs, O(1) languages each
+    holding its own sorted column (SURVEY custom-operator route (a)).
+    When a single language outgrows a worker, swap in the mergeable
+    histogram quantiles (``stages/sketch_agg.approx_quantiles``) — the
+    documented approx path for the 10^12-row regime."""
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def robust(g: pd.DataFrame) -> pd.DataFrame:
+        x = g["n_chars"].to_numpy(dtype=np.float64)
+        med = float(np.median(x))
+        mad = float(np.median(np.abs(x - med)))
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]],
+                             "median_chars": [med], "mad_chars": [mad]})
+
+    out = (ds.groupby("lang").map_groups(robust, batch_format="pandas")
+             .to_pandas())
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def local_supplier_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape: revenue in ASIA nations where the ordering
+    customer and the line's supplier are in the SAME nation — the
+    five-table join chain with a cross-fact equality predicate.
+
+    Scale shape: supplier→nation and customer→nation are broadcast
+    lookups (``ray.put`` once; supplier is tiny, customer is the
+    canonical 'medium dim' — swap for ``bucketed_hash_join`` on
+    custkey when it outgrows a broadcast, same downstream); nation ⋈
+    region prune to the ASIA nation-key set driver-side (25×5 rows).
+    The ONLY exchange is lineitem ⋈ orders on orderkey (bucketed),
+    with the same-nation filter applied map-side inside the join's
+    output pass, then nation-keyed partial sums."""
+    from ..stages import joins
+
+    nat = _t(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = _t(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = reg.loc[reg["r_name"] == "ASIA", "r_regionkey"].iloc[0]
+    nat_asia = nat[nat["n_regionkey"] == asia]
+    nation_name = dict(zip(nat_asia["n_nationkey"], nat_asia["n_name"]))
+
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    supp_nat_ref = ray.put(dict(zip(sup["s_suppkey"], sup["s_nationkey"])))
+    cust_nat_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    names_ref = ray.put(nation_name)
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    oj = joins.bucketed_hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey")
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        supp_nat = ray.get(supp_nat_ref)
+        cust_nat = ray.get(cust_nat_ref)
+        names = ray.get(names_ref)
+        sn = df["l_suppkey"].map(supp_nat)
+        cn = df["o_custkey"].map(cust_nat)
+        keep = (sn == cn) & sn.isin(names)
+        d = df[keep]
+        out = pd.DataFrame({
+            "n_name": sn[keep].map(names),
+            "revenue": (d["l_extendedprice"] * (1.0 - d["l_discount"])).to_numpy(),
+        })
+        return out.groupby("n_name", as_index=False).agg(revenue=("revenue", "sum"))
+
+    out = _partial_groupby(oj, ["n_name"], partials, [("revenue", "f")]).to_pandas()
+    out["revenue"] = _round_away(out["revenue"], 2)
+    return (out.sort_values(["revenue", "n_name"], ascending=[False, True])
+              .reset_index(drop=True))
