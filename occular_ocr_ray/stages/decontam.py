@@ -63,8 +63,10 @@ def eval_gram_hashes(eval_ds: rd.Dataset, text_col: str = "text",
 
     parts = eval_ds.select_columns([text_col]).map_batches(
         batch_hashes, batch_format="pandas")
-    col = parts.to_pandas()["h"].to_numpy(dtype=np.uint64)
-    return np.unique(col)
+    pdf = parts.to_pandas()
+    if "h" not in pdf.columns:  # empty eval set: zero blocks, no schema
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(pdf["h"].to_numpy(dtype=np.uint64))
 
 
 class ContaminationFilter:

@@ -295,9 +295,15 @@ def skew_aware_join(
                        if hot_keys else np.empty(0, dtype=np.int64))
         return batch.filter(pa.array(mask))
 
+    # Seed with the typed empty table and drop zero-row blocks: an empty
+    # right dataset otherwise contributes schema-less blocks that strip
+    # the key column from the broadcast table (Arrow join then fails).
     hot_right = pa.concat_tables(
-        [ray.get(ref) for ref in
-         right.map_batches(collect_hot, batch_format="pyarrow").to_arrow_refs()]
+        [rschema.empty_table()]
+        + [t for t in (ray.get(ref) for ref in
+                       right.map_batches(collect_hot, batch_format="pyarrow")
+                            .to_arrow_refs())
+           if t.num_rows]
     ).combine_chunks() if hot_keys else rschema.empty_table()
     hot_ref = ray.put(hot_right)
     hot_arr = np.fromiter(hot_keys, dtype=np.int64) if hot_keys else \

@@ -91,6 +91,10 @@ def knn_bruteforce(ds, query_ids: list[int], k: int = 5,
     """Exact cosine top-k of each query id against the full corpus
     (self excluded).  Returns (query_id, neighbor_id, rank)."""
     qdf = _filter_ids(ds, id_col, query_ids).to_pandas()
+    if qdf.empty:  # zero matches also drop the schema — fail clearly
+        raise ValueError(
+            f"none of the {len(query_ids)} query ids are present in "
+            f"column {id_col!r}")
     qdf = qdf.sort_values(id_col)
     qids = qdf[id_col].to_numpy(dtype=np.int64)
     qmat = np.array([np.asarray(v, dtype=np.float64) for v in qdf[vec_col]])

@@ -265,4 +265,10 @@ def approx_quantiles(
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
     )
+    if out.empty and key_col not in out.columns:
+        # empty input drops the schema entirely — return the typed shape
+        cols = {key_col: [], "n_rows": pd.Series([], dtype=np.int64)}
+        cols |= {f"p{int(round(q * 100))}": pd.Series([], dtype=np.float64)
+                 for q in qs}
+        return pd.DataFrame(cols)
     return out.sort_values(key_col).reset_index(drop=True)

@@ -170,6 +170,10 @@ def test_knn_bruteforce_exact():
     expect = list(np.argsort(-sims)[:3])
     assert out["neighbor_id"].tolist() == expect
     assert out["rank"].tolist() == [1, 2, 3]
+    # unknown query ids fail with a clear message, not a KeyError from
+    # the schema-less empty filter result
+    with pytest.raises(ValueError, match="query ids"):
+        knn_bruteforce(ds, query_ids=[9999], k=3)
 
 
 def test_knn_ivf_reasonable_recall(tmp_path):
@@ -785,6 +789,12 @@ def test_approx_quantiles_accuracy_and_invariance():
         out1.reset_index(drop=True), out32.reset_index(drop=True)
     )  # partitioning-invariant
 
+    # empty input returns the typed empty shape, not a KeyError
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.string()),
+                                    "v": pa.array([], pa.float64())}))
+    eout = approx_quantiles(empty, "k", "v")
+    assert list(eout.columns) == list(out1.columns) and eout.empty
+
     for key in ("a", "b"):
         v = np.sort(vals[keys == key])
         n = len(v)
@@ -1037,6 +1047,22 @@ def test_skew_aware_join_explicit_hot_keys_and_no_hot():
         assert out["x"].tolist() == [10, 10, 30]
 
 
+def test_skew_aware_join_empty_right():
+    """Inner join against an empty right side is 0 rows, not a crash
+    (regression: an empty right dataset contributed schema-less blocks
+    that stripped the key column from the broadcast hot table)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import skew_aware_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 2], pa.int64()),
+        "v": pa.array([1, 2, 3, 4], pa.int64())}))
+    empty = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "w": pa.array([], pa.int64())}))
+    assert skew_aware_join(left, empty, left_on="k", right_on="k").count() == 0
+
+
 # --- Misra-Gries exact top-k ------------------------------------------
 def test_topk_by_frequency_exact_small_vocab():
     import ray.data as rd
@@ -1163,3 +1189,10 @@ def test_decontaminate_drops_ngram_overlap():
     }))
     out = decontaminate(corpus, eval_ds, text_col="text", n=4).to_pandas()
     assert sorted(out["doc_id"]) == [2, 3, 4, 5]
+
+    # empty eval set (no benchmark files yet): everything passes through
+    # (regression: zero eval blocks used to strip the hash column and
+    # crash the gram reduction)
+    empty_eval = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = decontaminate(corpus, empty_eval, text_col="text", n=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 3, 4, 5]
