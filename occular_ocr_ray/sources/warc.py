@@ -21,8 +21,6 @@ stream, mirroring ``extract_row``'s total-function contract.
 from __future__ import annotations
 
 import datetime as _dt
-import gzip
-import io
 
 import pyarrow as pa
 import ray.data as rd
@@ -106,18 +104,43 @@ def parse_warc_records(data: bytes) -> list[dict]:
 
 def _maybe_gunzip(data: bytes) -> bytes:
     """Multi-member-safe gunzip when the gzip magic is present (Common
-    Crawl compresses each record as its own member; ``GzipFile`` reads
-    across members)."""
+    Crawl compresses each record as its own member).  Total like the
+    record parser: a corrupt/truncated member yields the members
+    decompressed so far instead of killing the read task — at crawl
+    scale one bad shard tail must cost its own records, not the job."""
     if data[:2] != b"\x1f\x8b":
         return data
-    with gzip.GzipFile(fileobj=io.BytesIO(data)) as fh:
-        return fh.read()
+    import zlib
+
+    out, pos = [], 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data[pos:]))
+            out.append(d.flush())
+        except zlib.error:
+            break  # corrupt member: keep what decompressed cleanly
+        if not d.eof:  # truncated final member
+            break
+        tail = d.unused_data
+        if not tail:
+            break
+        pos = len(data) - len(tail)
+    return b"".join(out)
 
 
-def _warc_batch_to_pages(batch: pa.Table) -> pa.Table:
+def _warc_paths_to_pages(batch: pa.Table) -> pa.Table:
+    from pyarrow import fs as pafs
+
     rows: list[dict] = []
-    for blob in batch["bytes"].to_pylist():
-        rows.extend(parse_warc_records(_maybe_gunzip(blob)))
+    for p in batch["path"].to_pylist():
+        if "://" in p:
+            fsys, rel = pafs.FileSystem.from_uri(p)
+        else:
+            fsys, rel = pafs.LocalFileSystem(), p
+        with fsys.open_input_stream(rel, compression=None) as fh:  # RAW bytes
+            data = fh.read()
+        rows.extend(parse_warc_records(_maybe_gunzip(data)))
     if not rows:
         return PAGES_SCHEMA.empty_table()
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
@@ -125,7 +148,13 @@ def _warc_batch_to_pages(batch: pa.Table) -> pa.Table:
 
 def read_pages_warc(paths) -> rd.Dataset:
     """WARC (or .warc.gz) shards → pages Dataset: one file per read
-    task, records flat-mapped to PAGES_SCHEMA rows."""
-    return rd.read_binary_files(paths).map_batches(
-        _warc_batch_to_pages, batch_format="pyarrow"
+    task, records flat-mapped to PAGES_SCHEMA rows.  Bytes are read RAW
+    (compression=None) and decompressed by ``_maybe_gunzip`` — Ray's
+    extension-based auto-gunzip cannot be disabled and dies inside the
+    read task on a torn gzip member, where the total parser instead
+    salvages the shard's clean prefix."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return rd.from_items([{"path": p} for p in paths]).map_batches(
+        _warc_paths_to_pages, batch_format="pyarrow", batch_size=1
     )

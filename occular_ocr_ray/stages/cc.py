@@ -58,6 +58,12 @@ def connected_component_labels(
         batch_format="pyarrow",
     ).materialize()
 
+    if edges.count() == 0:  # no edges: every node is its own component
+        return labels.map_batches(
+            lambda b: pa.table({id_col: b["node"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+
     def total(ds) -> int:
         return int(ds.aggregate(Sum("label", alias_name="s"))["s"])
 

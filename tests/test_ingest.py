@@ -141,6 +141,15 @@ def test_read_pages_warc(tmp_path):
     # truncated/garbage tail must not raise (total parser)
     (tmp_path / "bad.warc").write_bytes(raw[: len(raw) // 2] + b"\x00garbage")
     assert read_pages_warc([str(tmp_path / "bad.warc")]).count() >= 0
+    # corrupt gzip MEMBER mid-shard: complete earlier members salvaged,
+    # the bad tail dropped — never a dead read task
+    good = gzip.compress(
+        _warc_record("response", "https://gz.example/ok",
+                     "2017-03-22T18:00:00Z", _http_payload(body1)))
+    (tmp_path / "torn.warc.gz").write_bytes(
+        good + b"\x1f\x8b\x08corrupt-member")
+    torn = read_pages_warc([str(tmp_path / "torn.warc.gz")]).to_pandas()
+    assert list(torn["url"]) == ["https://gz.example/ok"]
 
     import pyarrow as pa_
 

@@ -745,6 +745,22 @@ def test_cc_random_graphs_match_union_find():
     assert got == expect
 
 
+def test_cc_no_edges_is_identity_labeling():
+    """Zero edges: every node is its own component (regression: the
+    empty edge Dataset crashed the round-join's schema inference)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.cc import connected_component_labels
+
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array([7, 3, 9], pa.int64())}))
+    empty_pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
+    out = (connected_component_labels(ids, empty_pairs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [3, 7, 9]
+    assert out["label"].tolist() == [3, 7, 9]
+
+
 def test_cc_bucket_width_tracks_cluster(ray_session):
     """The CC round-join width must scale with the cluster (the r2
     16-bucket hardcode capped the 10^12-row path at 16-way join
