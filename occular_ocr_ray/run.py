@@ -10,6 +10,7 @@ Intended launch shape on a real cluster (SURVEY.md §3):
 
     ray job submit -- python -m occular_ocr_ray.run \\
         --input <pages_parquet_dir> --output <out_dir> \\
+        [--input-format warc|jsonl|csv] \\
         [--num-waves 16] [--num-parts 64] [--extractor density] \\
         [--extractor-arg keep_thresh=0.4] [--force-parse] \\
         [--giant-threshold 4000000 | --bucket-by-size 4000000 | --pre-bucketed] \\
@@ -52,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--input", required=True, help="directory of pages parquet shards")
     ap.add_argument("--output", required=True, help="output directory (data/ + manifest/)")
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc", "jsonl", "csv"],
+                    help="non-parquet inputs are ingested once into "
+                         "<output>/ingested/ pages parquet (idempotent "
+                         "on resume), then extracted like a parquet job")
     ap.add_argument("--extractor", default="density")
     ap.add_argument("--extractor-arg", action="append", default=[],
                     metavar="KEY=VALUE",
@@ -95,6 +101,16 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.flagship import read_extracted, run_extraction
 
         input_dir, pre_bucketed = args.input, args.pre_bucketed
+        if args.input_format != "parquet":
+            import os
+
+            from .sources.ingest import ingest_to_pages_parquet
+
+            ingest_dir = os.path.join(args.output, "ingested")
+            totals = ingest_to_pages_parquet(args.input, ingest_dir,
+                                             args.input_format)
+            print(f"ingested: {totals}", file=sys.stderr)
+            input_dir = ingest_dir
         if args.bucket_by_size is not None:
             if pre_bucketed or args.giant_threshold is not None:
                 raise ValueError(

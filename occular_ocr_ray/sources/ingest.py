@@ -178,3 +178,66 @@ def bucket_pages_by_size(input_dir: str, out_dir: str, giant_threshold: int) -> 
     sink = _SizeBucketSink(out_dir, giant_threshold)
     rd.read_parquet(files).write_datasink(sink)
     return {**sink.totals, "out_dir": out_dir}
+
+
+def ingest_to_pages_parquet(input_dir: str, out_dir: str, fmt: str,
+                            num_files: int | None = None) -> dict:
+    """Materialize a non-parquet page source (warc/jsonl/csv directory)
+    as canonical pages parquet under ``out_dir`` — the ingest half of
+    the CLI's ``--input-format``: extraction's wave/resume machinery is
+    file-granular over parquet shards, so foreign containers are
+    converted ONCE (idempotent: a ``_DONE`` marker skips re-ingest on
+    resume) and the job then runs exactly like a parquet job.
+
+    Returns {"files": n_input_files, "rows": n_pages}."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return _json.load(fh)
+
+    patterns = {
+        "warc": ("*.warc", "*.warc.gz"),
+        "jsonl": ("*.jsonl", "*.json"),
+        "csv": ("*.csv",),
+    }
+    if fmt not in patterns:
+        raise ValueError(f"unknown input format {fmt!r}; "
+                         f"expected one of {sorted(patterns)} or 'parquet'")
+    files = sorted(
+        f for pat in patterns[fmt]
+        for f in glob.glob(os.path.join(input_dir, pat))
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"no {fmt} files under {input_dir} "
+            f"(patterns: {', '.join(patterns[fmt])})")
+
+    if fmt == "warc":
+        from .warc import read_pages_warc
+
+        ds = read_pages_warc(files)
+    elif fmt == "jsonl":
+        ds = read_pages_json(files)
+    else:
+        ds = read_pages_csv(files)
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # crashed partial attempt
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_parquet(out_dir)
+    import pyarrow.parquet as pq
+
+    rows = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(out_dir, "*.parquet"))
+    )
+    totals = {"files": len(files), "rows": int(rows)}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(totals, fh)
+    os.replace(tmp, marker)
+    return totals

@@ -100,3 +100,39 @@ def test_cli_extractor_kwargs(tmp_path):
         assert r.returncode == 0, r.stderr[-2000:]
         outs[name] = json.loads(r.stdout[r.stdout.index("{"):])["totals"]["blocks_kept"]
     assert outs["lenient"] > outs["default"]
+
+
+def test_cli_warc_input(tmp_path):
+    """--input-format warc: WARC shards ingest once into
+    <output>/ingested/ pages parquet (idempotent marker), then the
+    normal waved extraction runs; a resume re-run skips both the
+    ingest and the waves."""
+    import gzip
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_ingest import _http_payload, _warc_record
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    body = b"<html><body><p>" + b"cli warc body text " * 12 + b"</p></body></html>"
+    (wdir / "a.warc").write_bytes(
+        _warc_record("response", "https://cli.example/a",
+                     "2017-03-22T17:00:01Z", _http_payload(body)))
+    (wdir / "b.warc.gz").write_bytes(gzip.compress(
+        _warc_record("response", "https://cli.example/b",
+                     "2017-03-22T17:00:02Z", _http_payload(body))))
+
+    out = tmp_path / "out"
+    args = ["--input", str(wdir), "--output", str(out),
+            "--input-format", "warc", "--num-waves", "1"]
+    r = _run_cli(args)
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout[r.stdout.index("{"):])
+    assert summary["totals"]["rows"] == 2
+    assert (out / "ingested" / "_DONE").exists()
+
+    r2 = _run_cli(args)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    summary2 = json.loads(r2.stdout[r2.stdout.index("{"):])
+    assert summary2["totals"]["rows"] == 2
+    assert all(w["status"] == "skipped" for w in summary2["waves"].values())
