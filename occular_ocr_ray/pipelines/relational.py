@@ -1955,8 +1955,17 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
     ITERS, DAMP = 3, 0.85
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    # Every exchange width is sized from the data ONCE, up front
+    # (lineitem count is parquet metadata — free): each lineitem joins
+    # exactly one order, so |edges| = 2·|lineitem|.  Without this the
+    # joins default to the cluster width and the groupby shuffles
+    # fragment the (tiny at test scale) iteration state into hundreds
+    # of blocks, multiplying per-task overhead by iteration count.
+    n_edges = 2 * li.count()
+    nb = max(1, min(joins._default_num_buckets(), -(-n_edges // 65536)))
     oj = joins.bucketed_hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey")
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        num_buckets=nb)
 
     def to_edges(b: pa.Table) -> pa.Table:
         c = pc.multiply(b["o_custkey"], pa.scalar(2, pa.int64()))
@@ -1975,15 +1984,17 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
                              "d": g["size"].to_numpy(np.int64)})
 
     outdeg = _partial_groupby(edges, ["src"], deg_partials, [("d", "i")])
+    # repartition(nb): groupby/join shuffles emit far more (mostly tiny)
+    # blocks than buckets; the materialized iteration invariant must not
+    # carry that fragmentation into every round's task count.
     edges_w = joins.bucketed_hash_join(
-        edges, outdeg, left_on="src", right_on="src").materialize()
-    n_edges = edges_w.count()
-    nb = max(1, min(joins._default_num_buckets(), -(-n_edges // 65536)))
+        edges, outdeg, left_on="src", right_on="src", num_buckets=nb
+    ).repartition(nb).materialize()
     # Both edge directions exist, so the node set equals the outdeg key
     # set AND the per-iteration dst key set — no nodes⋈contribs join.
     ranks = outdeg.map_batches(
         lambda b: pa.table({"n": b["src"]}), batch_format="pyarrow"
-    ).materialize()
+    ).repartition(nb).materialize()
     n_nodes = ranks.count()
     ranks = ranks.map_batches(
         lambda b: b.append_column(
@@ -2012,7 +2023,7 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
             })
 
         ranks = contribs.map_batches(
-            apply_rank, batch_format="pyarrow").materialize()
+            apply_rank, batch_format="pyarrow").repartition(nb).materialize()
 
     out = ranks.to_pandas()
     out["node_type"] = np.where(out["n"] % 2 == 0, "customer", "supplier")
