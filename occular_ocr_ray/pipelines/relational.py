@@ -578,9 +578,13 @@ def orders_join_priority_bucketed(sf_dir: str) -> pd.DataFrame:
     against the same DuckDB oracle."""
     from ..stages.joins import bucketed_hash_join
 
+    from ..stages.joins import buckets_for
+
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = bucketed_hash_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+    joined = bucketed_hash_join(li, orders, left_on="l_orderkey",
+                                right_on="o_orderkey",
+                                num_buckets=buckets_for(li.count()))
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
@@ -927,10 +931,13 @@ def part_order_counts(sf_dir: str) -> pd.DataFrame:
     matches only — the null-padded outer rows contribute 0."""
     from ..stages.joins import bucketed_hash_join
 
+    from ..stages.joins import buckets_for
+
     part = _t(sf_dir, "part", ["p_partkey", "p_brand"])
     li = _t(sf_dir, "lineitem", ["l_partkey", "l_orderkey"])
     joined = bucketed_hash_join(part, li, left_on="p_partkey",
-                                right_on="l_partkey", join_type="left outer")
+                                right_on="l_partkey", join_type="left outer",
+                                num_buckets=buckets_for(li.count()))
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(n_lineitems=df["l_orderkey"].notna().astype("int64"))
@@ -1443,9 +1450,12 @@ def user_daily_click_purchase(sf_dir: str) -> pd.DataFrame:
             ).astype({out_col: np.int64})
         return _partial_groupby(ds, ["jk"], partials, [(out_col, "i")])
 
+    from ..stages.joins import buckets_for
+
     joined = bucketed_hash_join(
         side("click", "n_clicks"), side("purchase", "n_purchases"),
         left_on="jk", right_on="jk", join_type="full outer",
+        num_buckets=buckets_for(_t(sf_dir, "events", ["event_id"]).count()),
     )
     out = joined.to_pandas()
     out["user_id"] = (out["jk"] // 64).astype(np.int64)
@@ -1497,8 +1507,13 @@ def top_building_orders(sf_dir: str) -> pd.DataFrame:
             revenue=("revenue", "sum"))
 
     rev = _partial_groupby(li, ["l_orderkey"], rev_partials, [("revenue", "f")])
-    joined = bucketed_hash_join(rev, orders_f, left_on="l_orderkey",
-                                right_on="o_orderkey")
+    from ..stages.joins import buckets_for
+
+    # width from the lineitem metadata count — an upper bound on the
+    # pre-aggregated rev side (exact size would cost an execution)
+    joined = bucketed_hash_join(
+        rev, orders_f, left_on="l_orderkey", right_on="o_orderkey",
+        num_buckets=buckets_for(_t(sf_dir, "lineitem", ["l_orderkey"]).count()))
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(revenue=_round_away(df["revenue"], 2))
@@ -1542,10 +1557,13 @@ def clickdays_intersect_purchasedays(sf_dir: str) -> pd.DataFrame:
     Non-vacuous at every tier (pairs exist in each class)."""
     from ..stages.joins import bucketed_hash_join
 
+    from ..stages.joins import buckets_for
+
     joined = bucketed_hash_join(
         _distinct_event_day_pairs(sf_dir, "click"),
         _distinct_event_day_pairs(sf_dir, "purchase"),
         left_on="jk", right_on="jk",
+        num_buckets=buckets_for(_t(sf_dir, "events", ["event_id"]).count()),
     )
     return _pairs_to_user_day(joined.to_pandas())
 
@@ -1903,6 +1921,8 @@ def repeated_spans(sf_dir: str) -> pd.DataFrame:
     out = joins.bucketed_hash_join(
         base_ds, dup, left_on="doc_id", right_on="doc_id",
         join_type="left outer",
+        num_buckets=joins.buckets_for(
+            _t(sf_dir, "documents", ["doc_id"]).count()),
     ).to_pandas()
     out["n_dup"] = out["n_dup"].fillna(0).astype(np.int64)
     out = out[["doc_id", "n_windows", "n_dup"]]
@@ -1962,7 +1982,7 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
     # fragment the (tiny at test scale) iteration state into hundreds
     # of blocks, multiplying per-task overhead by iteration count.
     n_edges = 2 * li.count()
-    nb = max(1, min(joins._default_num_buckets(), -(-n_edges // 65536)))
+    nb = joins.buckets_for(n_edges)
     oj = joins.bucketed_hash_join(
         li, orders, left_on="l_orderkey", right_on="o_orderkey",
         num_buckets=nb)
@@ -2363,7 +2383,8 @@ def local_supplier_revenue(sf_dir: str) -> pd.DataFrame:
             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     oj = joins.bucketed_hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey")
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        num_buckets=joins.buckets_for(li.count()))
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         supp_nat = ray.get(supp_nat_ref)

@@ -35,6 +35,16 @@ def _default_num_buckets() -> int:
     return max(32, 2 * cores)
 
 
+def buckets_for(n_rows: int, rows_per_bucket: int = 65536) -> int:
+    """Exchange width sized from the DATA, capped at the cluster width:
+    ~64k rows per bucket up to ``_default_num_buckets()``.  At web scale
+    the cap wins (full cluster parallelism); at test scale this collapses
+    to a few buckets instead of spraying tiny blocks over 64 groups —
+    row counts from parquet metadata (``ds.count()`` pre-transform) are
+    free, so callers that know their input size should pass this."""
+    return max(1, min(_default_num_buckets(), -(-n_rows // rows_per_bucket)))
+
+
 def _bucket_of(keys: np.ndarray, num_buckets: int) -> np.ndarray:
     """Deterministic bucket assignment for any key dtype: integer keys
     bucket by |k| % B (cheap, stable); string/other keys by pandas'
