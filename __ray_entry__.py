@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_build": R.vocab_build,
         "token_entropy": R.token_entropy,
         "lang_robust_stats": R.lang_robust_stats,
+        "lang_zscores": R.lang_zscores,
+        "lang_mixture_plan": R.lang_mixture_plan,
         "local_supplier_revenue": R.local_supplier_revenue,
         "inverted_index_heads": R.inverted_index_heads,
         "weighted_sample": R.weighted_sample,
@@ -428,6 +430,31 @@ def oracle_sql() -> dict[str, str]:
                    median(n_chars) AS median_chars,
                    mad(n_chars) AS mad_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "lang_zscores": """
+            SELECT doc_id,
+                   round((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                         / stddev_samp(n_chars) OVER (PARTITION BY lang),
+                         6) AS z_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_mixture_plan": """
+            WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                            FROM documents GROUP BY lang),
+            w AS (SELECT lang, n_docs,
+                         n_docs * 100.0 / sum(n_docs) OVER () AS ideal
+                  FROM counts),
+            fl AS (SELECT lang, n_docs,
+                          CAST(floor(ideal) AS BIGINT) AS base,
+                          ideal - floor(ideal) AS frac
+                   FROM w),
+            rem AS (SELECT 100 - sum(base) AS r FROM fl)
+            SELECT lang, n_docs,
+                   base + CASE WHEN ROW_NUMBER() OVER (ORDER BY frac DESC,
+                                                       lang)
+                                    <= (SELECT r FROM rem)
+                          THEN 1 ELSE 0 END AS quota
+            FROM fl ORDER BY lang
         """,
         "local_supplier_revenue": """
             SELECT n_name,

@@ -2404,3 +2404,77 @@ def local_supplier_revenue(sf_dir: str) -> pd.DataFrame:
     out["revenue"] = _round_away(out["revenue"], 2)
     return (out.sort_values(["revenue", "n_name"], ascending=[False, True])
               .reset_index(drop=True))
+
+
+def lang_zscores(sf_dir: str) -> pd.DataFrame:
+    """Per-group feature standardization: z-score of document length
+    within its language — the normalize-before-threshold step of a
+    quality pipeline, as the canonical two-phase grouped-stats shape.
+
+    Scale shape: phase 1 reduces (count, sum, sum of squared deviations
+    is NOT mergeable naively — so sum and sumsq partials) map-side into
+    a tiny per-lang stats table; phase 2 broadcasts it (``ray.put``)
+    and standardizes each batch vectorized.  The corpus never shuffles.
+    Mean/std use the two-pass formula per group (numerically equivalent
+    to SQL ``stddev_samp``), computed from the exact integer sums."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def stat_partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({"lang": df["lang"], "n": np.int64(1),
+                          "s": x, "ss": x * x})
+        return g.groupby("lang", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"))
+
+    stats = _partial_groupby(ds, ["lang"], stat_partials,
+                             [("n", "i"), ("s", "f"), ("ss", "f")]).to_pandas()
+    mean = stats["s"] / stats["n"]
+    # exact integer sums → this equals the two-pass sample variance
+    var = (stats["ss"] - stats["n"] * mean * mean) / (stats["n"] - 1)
+    lut = {l: (m, float(np.sqrt(v)))
+           for l, m, v in zip(stats["lang"], mean, var)}
+    ref = ray.put(lut)
+
+    def z(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(ref)
+        m = df["lang"].map(lambda l: t[l][0]).to_numpy(dtype=np.float64)
+        s = df["lang"].map(lambda l: t[l][1]).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "z_chars": _round_away(
+                (df["n_chars"].to_numpy(np.float64) - m) / s, 6),
+        })
+
+    out = ds.map_batches(z, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def lang_mixture_plan(sf_dir: str) -> pd.DataFrame:
+    """Data-mixing quota plan: allocate a fixed budget of 100 sample
+    slots across languages proportional to corpus share, by the
+    largest-remainder (Hamilton) method — deterministic, sums exactly
+    to the budget, ties broken by language.  The allocation input is
+    the per-lang count aggregate (map-side combined); the apportionment
+    itself runs on the ≤|langs|-row result, legitimately driver-side."""
+    BUDGET = 100
+    ds = _t(sf_dir, "documents", ["lang"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).size()
+        return pd.DataFrame({"lang": g["lang"],
+                             "n_docs": g["size"].astype(np.int64)})
+
+    counts = _partial_groupby(ds, ["lang"], partials,
+                              [("n_docs", "i")]).to_pandas()
+    counts = counts.sort_values("lang").reset_index(drop=True)
+    ideal = counts["n_docs"].to_numpy(np.float64) * BUDGET / counts["n_docs"].sum()
+    base = np.floor(ideal).astype(np.int64)
+    frac = ideal - base
+    r = BUDGET - int(base.sum())
+    order = np.lexsort((counts["lang"].to_numpy(), -frac))  # frac DESC, lang ASC
+    quota = base.copy()
+    quota[order[:r]] += 1
+    out = pd.DataFrame({"lang": counts["lang"],
+                        "n_docs": counts["n_docs"].astype(np.int64),
+                        "quota": quota})
+    return out.sort_values("lang").reset_index(drop=True)
