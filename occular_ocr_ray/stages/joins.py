@@ -199,6 +199,57 @@ def bucketed_hash_join(
     return tagged.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def bucketed_lookup_join(
+    left,
+    right,
+    *,
+    left_on: str,
+    right_on: str,
+    num_buckets: int | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """Left-outer 1:≤1 enrichment: attach ``right``'s non-key columns
+    to ``left`` by key, resolved per bucket with an index-``take``
+    instead of Acero's hash join.  Exists because Acero rejects
+    list/struct NON-KEY columns on either side — this variant carries
+    ANY left schema (e.g. the flagship's ``spans`` struct column)
+    through the same single bucket exchange.  ``right`` must be unique
+    per key (an aggregate/interval table); rows without a match get
+    nulls, unmatched right rows are dropped."""
+    if num_buckets is None:
+        num_buckets = _default_num_buckets()
+    tagged, lschema, rschema = _tagged_bucket_union(
+        left, right, left_on, right_on, num_buckets,
+        lschema=left_schema, rschema=right_schema,
+    )
+    lnames, rnames = list(lschema.names), list(rschema.names)
+    lset = set(lnames)
+    out_fields = [(n, lschema.field(n).type) for n in lnames]
+    r_value_names = [n for n in rnames if n != right_on]
+    r_out_names = [f"{n}_r" if n in lset else n for n in r_value_names]
+    out_fields += [(o, rschema.field(n).type)
+                   for n, o in zip(r_value_names, r_out_names)]
+    out_schema = pa.schema(out_fields)
+
+    def lookup_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["__side"], "l")
+        lg = g.filter(lmask).select(lnames)
+        if lg.num_rows == 0:
+            return out_schema.empty_table()
+        rg = g.filter(pc.invert(lmask)).select(rnames)
+        pos = {k: i for i, k in enumerate(rg[right_on].to_pylist())}
+        idx = pa.array(
+            [pos.get(k) for k in lg[left_on].to_pylist()], pa.int64()
+        )  # null index → null output under Arrow take semantics
+        for n, o in zip(r_value_names, r_out_names):
+            lg = lg.append_column(o, rg[n].combine_chunks().take(idx))
+        return lg.select(out_schema.names).cast(out_schema)
+
+    return tagged.groupby("__bucket").map_groups(
+        lookup_bucket, batch_format="pyarrow")
+
+
 def _mg_key_histogram(ds, col: str, capacity: int):
     """Approximate key histogram via a mergeable Misra-Gries fold over a
     key-only projection (one row of packed lists per batch, streaming

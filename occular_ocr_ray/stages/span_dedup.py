@@ -39,7 +39,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .joins import bucketed_hash_join
+from .joins import bucketed_lookup_join
 
 
 def _gram_hashes(tokens: list[str], w: int) -> list[int]:
@@ -123,27 +123,32 @@ def dedup_spans(ds, *, w: int, text_col: str = "text",
     iv = dup_span_intervals(removable_occurrences(occ), w=w)
 
     # Arrow's hash join rejects list-typed payload columns — ship the
-    # interval list as one "s:e;s:e" string through the exchange.
+    # interval list as one "s:e;s:e" string through the exchange, under
+    # a dunder name no real corpus column uses (the flagship's extracted
+    # rows already carry a ``spans`` struct column — a bare name would
+    # collide in the join and the rewrite would read the wrong side).
     def serialize(b: pa.Table) -> pa.Table:
         spans = [";".join(f"{s}:{e}" for s, e in zip(ss, ee))
                  for ss, ee in zip(b["starts"].to_pylist(),
                                    b["ends"].to_pylist())]
         return pa.table({"doc_id": b["doc_id"],
-                         "spans": pa.array(spans, pa.string())})
+                         "__dup_spans": pa.array(spans, pa.string())})
 
-    joined = bucketed_hash_join(
+    # lookup join, not Acero hash join: the corpus side may carry
+    # list/struct columns (flagship rows have a ``spans`` struct) that
+    # Acero rejects as join payloads
+    joined = bucketed_lookup_join(
         ds, iv.map_batches(serialize, batch_format="pyarrow"),
-        left_on=id_col, right_on="doc_id",
-        join_type="left outer", num_buckets=num_buckets,
+        left_on=id_col, right_on="doc_id", num_buckets=num_buckets,
         # the corpus may have zero dup spans — an empty right side has
         # no block to infer a schema from
         right_schema=pa.schema([("doc_id", pa.int64()),
-                                ("spans", pa.string())]),
+                                ("__dup_spans", pa.string())]),
     )
 
     def rewrite(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        spans_col = batch["spans"].to_pylist()
+        spans_col = batch["__dup_spans"].to_pylist()
         new_texts, removed = [], []
         for t, spans in zip(texts, spans_col):
             if not spans:  # null join column: no dup spans in this doc
@@ -158,7 +163,7 @@ def dedup_spans(ds, *, w: int, text_col: str = "text",
             new_texts.append(" ".join(np.asarray(toks, dtype=object)[keep]))
             removed.append(int((~keep).sum()))
         cols = {n: batch[n] for n in batch.column_names
-                if n not in (text_col, "spans")}
+                if n not in (text_col, "__dup_spans")}
         cols[text_col] = pa.array(new_texts, pa.string())
         cols["n_removed_tokens"] = pa.array(removed, pa.int64())
         return pa.table(cols)

@@ -78,3 +78,24 @@ def test_partitioning_invariance():
     b = _result(dedup_spans(_docs(rows).repartition(5), w=4, num_buckets=7))
     assert a == b
     assert a[1][1] == 0 and all(a[i][1] == 6 for i in range(2, 9))
+
+
+def test_dedup_spans_over_rows_with_a_spans_column():
+    """The flagship's extracted rows carry a ``spans`` struct column;
+    the interval exchange must not collide with it (regression: the
+    join payload was named ``spans`` and the rewrite read the corpus
+    column instead of the intervals)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": BLOCK, "spans": [{"start": 0, "end": 3}]},
+        {"doc_id": 2, "text": f"pre {BLOCK} post",
+         "spans": [{"start": 0, "end": 5}]},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = dedup_spans(ds, w=4).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_removed_tokens"] == 0
+    assert out.loc[2, "n_removed_tokens"] == 6
+    # the corpus's own spans column passes through untouched
+    assert out.loc[1, "spans"] == [{"start": 0, "end": 3}]
