@@ -1161,6 +1161,36 @@ def test_bucketed_hash_join_string_keys():
         )
 
 
+def test_bucketed_lookup_join_matches_left_merge():
+    """The lookup join ≡ pandas left merge on unique-keyed right sides
+    (string keys, missing matches → nulls, collision suffix), and it
+    carries list-typed left columns Acero's hash join rejects."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import bucketed_lookup_join
+
+    rng = np.random.RandomState(7)
+    langs = ["en", "de", "fr", "zh", "es"]
+    left_tbl = pa.table({
+        "lang": pa.array(rng.choice(langs, 200)),
+        "v": pa.array(np.arange(200, dtype=np.int64)),
+        "tags": pa.array([[i, i + 1] for i in range(200)],
+                         pa.list_(pa.int64())),  # Acero-rejected payload
+    })
+    right = pd.DataFrame({"code": ["en", "de", "xx"],
+                          "family": ["ger", "ger", "unk"]})
+    got = bucketed_lookup_join(
+        rd.from_arrow(left_tbl).repartition(4), rd.from_pandas(right),
+        left_on="lang", right_on="code", num_buckets=8,
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    exp = (left_tbl.to_pandas()
+           .merge(right, left_on="lang", right_on="code", how="left")
+           .drop(columns=["code"]).sort_values("v").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["lang", "v", "family"]], exp[["lang", "v", "family"]])
+    assert got["tags"].map(list).tolist() == exp["tags"].map(list).tolist()
+
+
 def test_anti_join_bloom_prefilter_matches_plain():
     import ray.data as rd
 
