@@ -18,8 +18,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
-from html.parser import attrfind_tolerant as _ATTRFIND
-from html.parser import tagfind_tolerant as _TAGFIND
+
+# Private stdlib tokenizer regexes, used only by the opportunistic
+# parse_starttag fast path below.  They are undocumented internals that
+# could be renamed between CPython versions — a missing name must
+# degrade to the (byte-identical, ~15% slower) base implementation, not
+# break import.
+try:
+    from html.parser import attrfind_tolerant as _ATTRFIND
+    from html.parser import tagfind_tolerant as _TAGFIND
+except ImportError:  # pragma: no cover - depends on CPython version
+    _ATTRFIND = _TAGFIND = None
 
 # Block-level boundary tags (SURVEY.md §2.2 M2).  Opening OR closing one
 # of these flushes the current block.
@@ -172,6 +181,12 @@ class _BlockParser(HTMLParser):
     def close(self) -> None:  # final flush
         super().close()
         self._flush()
+
+
+if _ATTRFIND is None or _TAGFIND is None:  # pragma: no cover
+    # stdlib internals moved: drop the fast path, inherit the base
+    # parse_starttag (same token stream, attrs materialized again)
+    del _BlockParser.parse_starttag
 
 
 def segment_html(html: str) -> list[RawBlock]:

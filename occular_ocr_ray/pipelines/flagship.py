@@ -340,7 +340,17 @@ def run_extraction(
         if resume and os.path.exists(man_path):
             with open(man_path) as fh:
                 man = json.load(fh)
-            if man.get("params") != out_params or man.get("files") != waves[k]:
+            if "params" not in man:
+                # legacy (pre-params-guard) manifest: parameter identity
+                # is unverifiable — recompute the wave (correct under any
+                # params) rather than refusing the whole resume
+                import sys
+
+                print(f"warning: wave {k} manifest predates the params "
+                      f"guard; recomputing that wave", file=sys.stderr)
+                to_run.append(k)
+                continue
+            if man["params"] != out_params or man.get("files") != waves[k]:
                 raise ValueError(
                     f"wave {k} manifest was produced under different "
                     f"parameters or inputs than this run "

@@ -122,7 +122,9 @@ def main(argv: list[str] | None = None) -> int:
             from .sources.ingest import bucket_pages_by_size
 
             bucket_dir = os.path.join(args.output, "bucketed")
-            totals = bucket_pages_by_size(args.input, bucket_dir,
+            # bucket the POST-ingest pages dir: with --input-format
+            # warc/jsonl/csv the raw source dir has no parquet to bucket
+            totals = bucket_pages_by_size(input_dir, bucket_dir,
                                           args.bucket_by_size)
             print(f"bucketed: {totals}", file=sys.stderr)
             input_dir, pre_bucketed = bucket_dir, True

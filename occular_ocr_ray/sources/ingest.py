@@ -195,11 +195,6 @@ def ingest_to_pages_parquet(input_dir: str, out_dir: str, fmt: str,
     import os
     import shutil
 
-    marker = os.path.join(out_dir, "_DONE")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            return _json.load(fh)
-
     patterns = {
         "warc": ("*.warc", "*.warc.gz"),
         "jsonl": ("*.jsonl", "*.json"),
@@ -216,6 +211,32 @@ def ingest_to_pages_parquet(input_dir: str, out_dir: str, fmt: str,
         raise FileNotFoundError(
             f"no {fmt} files under {input_dir} "
             f"(patterns: {', '.join(patterns[fmt])})")
+
+    # input identity for the skip-on-resume marker: the ingested parquet
+    # file NAMES are the same for any source, so without this a re-run
+    # pointed at a DIFFERENT --input (or format) would silently extract
+    # yesterday's pages (same hazard class the wave manifests' params
+    # guard closes).  Basenames, not mtimes: a re-download of identical
+    # files must still resume.
+    src = {"fmt": fmt, "input_dir": os.path.abspath(input_dir),
+           "file_names": [os.path.basename(f) for f in files]}
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            done = _json.load(fh)
+        if "src" not in done:
+            pass  # legacy marker (pre-r4): can't verify → re-ingest below
+        elif done["src"] != src:
+            raise ValueError(
+                f"ingest dir {out_dir} was produced from a different "
+                f"source (marker: {done['src']['fmt']} x "
+                f"{len(done['src']['file_names'])} files from "
+                f"{done['src']['input_dir']}; now: {fmt} x {len(files)} "
+                f"files from {src['input_dir']}) — resuming would extract "
+                f"stale pages; use a fresh --output dir"
+            )
+        else:
+            return done
 
     if fmt == "warc":
         from .warc import read_pages_warc
@@ -235,7 +256,7 @@ def ingest_to_pages_parquet(input_dir: str, out_dir: str, fmt: str,
         pq.read_metadata(f).num_rows
         for f in glob.glob(os.path.join(out_dir, "*.parquet"))
     )
-    totals = {"files": len(files), "rows": int(rows)}
+    totals = {"files": len(files), "rows": int(rows), "src": src}
     tmp = marker + ".tmp"
     with open(tmp, "w") as fh:
         _json.dump(totals, fh)

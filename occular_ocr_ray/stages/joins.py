@@ -263,8 +263,11 @@ def _mg_key_histogram(ds, col: str, capacity: int):
             batch[col].to_numpy(zero_copy_only=False), return_counts=True
         )
         mg = _mg_compress(dict(zip(keys.tolist(), counts.tolist())), capacity)
+        # pack under the column's own Arrow type: string join keys are
+        # routine in web data (url, domain, lang), not just int64
+        kt = batch.schema.field(col).type
         return pa.table({
-            "keys": pa.array([list(mg.keys())], pa.list_(pa.int64())),
+            "keys": pa.array([list(mg.keys())], pa.list_(kt)),
             "counts": pa.array([list(mg.values())], pa.list_(pa.int64())),
             "n": pa.array([batch.num_rows], pa.int64()),
         })
@@ -350,10 +353,14 @@ def skew_aware_join(
 
     import ray
 
+    # hot-key membership array in the keys' native dtype (int64 or
+    # unicode) — np.isin handles both; sorted for determinism
+    hot_arr = (np.asarray(sorted(hot_keys)) if hot_keys
+               else np.empty(0, dtype=np.int64))
+
     def collect_hot(batch: pa.Table) -> pa.Table:
         mask = np.isin(batch[right_on].to_numpy(zero_copy_only=False),
-                       np.fromiter(hot_keys, dtype=np.int64)
-                       if hot_keys else np.empty(0, dtype=np.int64))
+                       hot_arr)
         return batch.filter(pa.array(mask))
 
     # Seed with the typed empty table and drop zero-row blocks: an empty
@@ -367,8 +374,6 @@ def skew_aware_join(
            if t.num_rows]
     ).combine_chunks() if hot_keys else rschema.empty_table()
     hot_ref = ray.put(hot_right)
-    hot_arr = np.fromiter(hot_keys, dtype=np.int64) if hot_keys else \
-        np.empty(0, dtype=np.int64)
 
     def pad_to_exchange(tbl: pa.Table, bucket: np.ndarray, side: str) -> pa.Table:
         for n in exch_names:
@@ -386,8 +391,8 @@ def skew_aware_join(
         cold = batch.filter(pa.array(~hot_mask))
         out_parts = []
         if cold.num_rows:
-            bucket = (np.abs(cold[left_on].to_numpy(zero_copy_only=False))
-                      % num_buckets).astype(np.int32)
+            bucket = _bucket_of(
+                cold[left_on].to_numpy(zero_copy_only=False), num_buckets)
             out_parts.append(pad_to_exchange(cold, bucket, "l"))
         hot = batch.filter(pa.array(hot_mask))
         if hot.num_rows:
@@ -411,8 +416,8 @@ def skew_aware_join(
                                r_out_names):
             cols[out_name] = cold[n]
         tbl = pa.table(cols)
-        bucket = (np.abs(cold[right_on].to_numpy(zero_copy_only=False))
-                  % num_buckets).astype(np.int32)
+        bucket = _bucket_of(
+            cold[right_on].to_numpy(zero_copy_only=False), num_buckets)
         return pad_to_exchange(tbl, bucket, "r")
 
     tagged = left.map_batches(route_left, batch_format="pyarrow").union(

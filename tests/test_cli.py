@@ -136,3 +136,34 @@ def test_cli_warc_input(tmp_path):
     summary2 = json.loads(r2.stdout[r2.stdout.index("{"):])
     assert summary2["totals"]["rows"] == 2
     assert all(w["status"] == "skipped" for w in summary2["waves"].values())
+
+
+def test_cli_warc_input_with_bucket_by_size(tmp_path):
+    """--input-format + --bucket-by-size compose: the size bucketing
+    runs over the POST-ingest pages parquet, not the raw source dir
+    (regression: bucket_pages_by_size got args.input and globbed
+    *.parquet in the warc dir → FileNotFoundError)."""
+    import gzip
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_ingest import _http_payload, _warc_record
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    small = b"<html><body><p>" + b"small doc words " * 12 + b"</p></body></html>"
+    giant = b"<html><body><p>" + b"giant doc words " * 2000 + b"</p></body></html>"
+    (wdir / "a.warc").write_bytes(
+        _warc_record("response", "https://cli.example/s",
+                     "2017-03-22T17:00:01Z", _http_payload(small))
+        + _warc_record("response", "https://cli.example/g",
+                       "2017-03-22T17:00:02Z", _http_payload(giant)))
+
+    out = tmp_path / "out"
+    r = _run_cli(["--input", str(wdir), "--output", str(out),
+                  "--input-format", "warc", "--num-waves", "1",
+                  "--bucket-by-size", "4000"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout[r.stdout.index("{"):])
+    assert summary["totals"]["rows"] == 2
+    assert list((out / "bucketed" / "small").glob("*.parquet"))
+    assert list((out / "bucketed" / "giant").glob("*.parquet"))

@@ -83,6 +83,51 @@ def test_extract_total_on_poison_rows(html, text):
         assert 0 <= s["start"] <= s["end"] <= len(out["extracted_text"])
 
 
+def test_ingest_done_marker_validates_source(tmp_path):
+    """The _DONE marker skips re-ingest only for the SAME source: a
+    re-run pointed at a different input dir, format, or file list must
+    raise, not silently extract yesterday's pages (regression: the
+    marker recorded only totals, so any source reused a stale ingest)."""
+    import pytest as _pytest
+
+    from occular_ocr_ray.sources.ingest import ingest_to_pages_parquet
+
+    def write_jsonl(d, names):
+        d.mkdir(parents=True, exist_ok=True)
+        for n in names:
+            with open(d / n, "w") as fh:
+                fh.write(json.dumps({"url": f"https://x/{n}",
+                                     "text": "some words here"}) + "\n")
+
+    src_a, src_b = tmp_path / "a", tmp_path / "b"
+    write_jsonl(src_a, ["one.jsonl"])
+    write_jsonl(src_b, ["other.jsonl"])
+    out = tmp_path / "ingested"
+
+    t1 = ingest_to_pages_parquet(str(src_a), str(out), "jsonl")
+    # same source → marker short-circuits with the original totals
+    t2 = ingest_to_pages_parquet(str(src_a), str(out), "jsonl")
+    assert t2 == t1
+    # different input dir → refuse
+    with _pytest.raises(ValueError, match="different\\s+source"):
+        ingest_to_pages_parquet(str(src_b), str(out), "jsonl")
+    # same dir, changed file list → refuse
+    write_jsonl(src_a, ["two.jsonl"])
+    with _pytest.raises(ValueError, match="different\\s+source"):
+        ingest_to_pages_parquet(str(src_a), str(out), "jsonl")
+    # legacy marker (pre-r4, no src field) → re-ingest, then upgraded
+    import os as _os
+    marker = out / "_DONE"
+    with open(marker) as fh:
+        legacy = json.load(fh)
+    legacy.pop("src")
+    with open(marker, "w") as fh:
+        json.dump(legacy, fh)
+    t3 = ingest_to_pages_parquet(str(src_a), str(out), "jsonl")
+    assert t3["files"] == 2 and "src" in t3
+    assert _os.path.exists(marker)
+
+
 def _warc_record(rtype: str, uri: str, date: str, payload: bytes) -> bytes:
     head = (
         f"WARC/1.0\r\n"

@@ -67,6 +67,39 @@ def test_segment_malformed_html_is_salvaged():
     assert any(normalize_ws(b.raw_text).startswith("This paragraph") for b in blocks)
 
 
+def test_segment_fast_path_matches_stdlib_parse_starttag():
+    """The parse_starttag fast path (private stdlib regex imports) is an
+    opportunistic optimization only: a parser forced onto the BASE
+    HTMLParser.parse_starttag — the fallback taken when the private
+    names vanish in a future CPython — must produce the identical block
+    stream."""
+    from html.parser import HTMLParser
+
+    from occular_ocr_ray.functions.html_blocks import _BlockParser
+
+    class _Fallback(_BlockParser):
+        parse_starttag = HTMLParser.parse_starttag
+        updatepos = HTMLParser.updatepos
+
+    samples = [
+        f"<html><body><p class='x' data-a=\"1&amp;2\">{LONG}</p>"
+        f"<div><a href=/y>link text here</a></div></body></html>",
+        f"<body><p>{LONG}<br/><hr><td junk>cell</td>",
+        "<body><p title='unterminated>odd</p><script>s</script>done",
+    ]
+    for html in samples:
+        fast = _BlockParser()
+        fast.feed(html)
+        fast.close()
+        slow = _Fallback()
+        slow.feed(html)
+        slow.close()
+        assert [(b.raw_text, b.tag_path, b.link_chars, b.n_tags)
+                for b in fast.blocks] == \
+               [(b.raw_text, b.tag_path, b.link_chars, b.n_tags)
+                for b in slow.blocks]
+
+
 # --- classification ----------------------------------------------------
 def _blk(text: str, path: str = "html/body/p", link: int = 0) -> RawBlock:
     b = RawBlock(pieces=[text], tag_path=path)

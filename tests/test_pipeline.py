@@ -289,3 +289,27 @@ def test_resume_rejects_changed_params(pages_dir, tmp_path):
     # --no-resume recomputes under the new params instead of raising
     s2 = run_extraction(pages_dir, out, num_waves=2, num_parts=16, resume=False)
     assert all(w["status"] == "ran" for w in s2["waves"].values())
+
+
+def test_resume_legacy_manifest_recomputes(pages_dir, tmp_path):
+    """A pre-params-guard manifest (no 'params' key) can't prove its
+    parameter identity — resume RECOMPUTES that wave instead of
+    refusing the whole run (regression: all pre-round-3 output dirs
+    errored on in-place resume even with matching params)."""
+    from occular_ocr_ray.pipelines.flagship import run_extraction
+
+    out = str(tmp_path / "legacy")
+    s1 = run_extraction(pages_dir, out, num_waves=2, num_parts=8)
+    man_path = os.path.join(out, "manifest", "wave_1.json")
+    with open(man_path) as fh:
+        man = json.load(fh)
+    del man["params"]
+    with open(man_path, "w") as fh:
+        json.dump(man, fh)
+    s2 = run_extraction(pages_dir, out, num_waves=2, num_parts=8)
+    assert s2["waves"][0]["status"] == "skipped"
+    assert s2["waves"][1]["status"] == "ran"
+    assert s1["totals"] == s2["totals"]
+    # the recomputed manifest is upgraded: a third run skips everything
+    s3 = run_extraction(pages_dir, out, num_waves=2, num_parts=8)
+    assert all(w["status"] == "skipped" for w in s3["waves"].values())

@@ -1079,6 +1079,35 @@ def test_skew_aware_join_empty_right():
     assert skew_aware_join(left, empty, left_on="k", right_on="k").count() == 0
 
 
+def test_skew_aware_join_string_keys():
+    """String join keys (url/domain/lang — routine in web data) route
+    through the same hot-broadcast + cold-bucket plan as integers
+    (regression: MG histogram packed keys as list<int64> and bucket
+    assignment used |k| % B, so string keys crashed)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import bucketed_hash_join, skew_aware_join
+
+    rng = np.random.RandomState(11)
+    hot = rng.choice(["en", "de"], size=400).tolist()
+    cold = [f"l{i % 37}" for i in range(300)]
+    left = pd.DataFrame({"lang": hot + cold,
+                         "v": np.arange(700, dtype=np.int64)})
+    right = pd.DataFrame({"rl": ["en", "de"] + [f"l{i}" for i in range(37)],
+                          "tag": [f"t{i}" for i in range(39)]})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    got = skew_aware_join(lds, rds, left_on="lang", right_on="rl",
+                          hot_min_frac=0.05, num_buckets=8).to_pandas()
+    exp = bucketed_hash_join(lds, rds, left_on="lang", right_on="rl",
+                             num_buckets=8).to_pandas()
+    cols = ["lang", "v", "tag"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(["lang", "v"]).reset_index(drop=True),
+        exp[cols].sort_values(["lang", "v"]).reset_index(drop=True),
+    )
+
+
 # --- Misra-Gries exact top-k ------------------------------------------
 def test_topk_by_frequency_exact_small_vocab():
     import ray.data as rd
