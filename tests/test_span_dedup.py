@@ -80,6 +80,46 @@ def test_partitioning_invariance():
     assert a[1][1] == 0 and all(a[i][1] == 6 for i in range(2, 9))
 
 
+def test_rolling_hasher_matches_blake2b_results():
+    """The O(L) rolling-polynomial gram build and the O(w·L) blake2b
+    reference build yield the SAME dedup results (hash values differ by
+    construction; duplicate-gram structure must not) — the dual-
+    implementation cross-check for the hottest dedup kernel."""
+    rng_texts = []
+    for i in range(1, 41):
+        filler = " ".join(f"w{i}x{j}" for j in range(i % 5 + 2))
+        rng_texts.append(
+            {"doc_id": i,
+             "text": f"{filler} {BLOCK} mid{i} {BLOCK} tail{i} end{i}"
+             if i % 3 == 0 else f"{filler} {BLOCK} tail{i} close{i} end{i}"})
+    ds = _docs(rng_texts)
+    a = _result(dedup_spans(ds, w=4, hasher="rolling"))
+    b = _result(dedup_spans(ds, w=4, hasher="blake2b"))
+    assert a == b
+    assert sum(r > 0 for _, r in a.values()) > 30  # non-vacuous
+
+    # occurrence structure (doc, pos, group size) identical too
+    occ_r = span_occurrences(ds, w=4, hasher="rolling").to_pandas()
+    occ_b = span_occurrences(ds, w=4, hasher="blake2b").to_pandas()
+    key = ["doc_id", "pos"]
+    ga = occ_r.groupby("h")[key].apply(lambda g: tuple(sorted(map(tuple, g.values))))
+    gb = occ_b.groupby("h")[key].apply(lambda g: tuple(sorted(map(tuple, g.values))))
+    assert sorted(ga.tolist()) == sorted(gb.tolist())
+
+
+def test_rolling_hasher_partition_invariant_values():
+    """Gram hashes are pure values (fixed siphash key + fixed base):
+    identical for the same window regardless of batching/partitioning."""
+    rows = [{"doc_id": i, "text": f"head{i} {BLOCK} tail{i}"}
+            for i in range(1, 7)]
+    a = span_occurrences(_docs(rows), w=4).to_pandas()
+    b = span_occurrences(_docs(rows).repartition(5), w=4).to_pandas()
+    key = ["doc_id", "pos", "h"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True))
+
+
 def test_dedup_spans_over_rows_with_a_spans_column():
     """The flagship's extracted rows carry a ``spans`` struct column;
     the interval exchange must not collide with it (regression: the
