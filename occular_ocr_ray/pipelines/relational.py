@@ -655,19 +655,29 @@ def ranked_orders(sf_dir: str) -> pd.DataFrame:
     """Windowed ranking — ROW_NUMBER() OVER (PARTITION BY segment ORDER
     BY totalprice DESC, orderkey) QUALIFY rnk <= 3 — an operator Ray
     Data lacks, expressed per SURVEY.md's custom-operator route (a):
-    broadcast dim lookup + ``groupby(segment).map_groups`` sort/head.
-    Only the 3-column projection shuffles and each group emits ≤ 3
-    rows, so the exchange is segment-count-bounded."""
+    broadcast dim lookup + MERGEABLE map-side top-k.
+
+    Scale shape: per-group top-k is associative, so each batch keeps
+    only ITS OWN top-3 per segment map-side and the groupby exchange
+    moves ≤ 3·|segments| rows per batch — never the orders projection
+    (the round-3 version shuffled every projected row into 5 groups,
+    capping parallelism at |segments| and co-locating a fifth of the
+    corpus per task at scale; same discipline as
+    ``latest_event_per_user`` / ``sampled_docs_per_lang``)."""
     ref = _broadcast_custseg(sf_dir)
     ds = _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
-    def project(df: pd.DataFrame) -> pd.DataFrame:
+    def project_top3(df: pd.DataFrame) -> pd.DataFrame:
         lookup = ray.get(ref)
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {"c_mktsegment": df["o_custkey"].map(lookup),
              "o_orderkey": df["o_orderkey"],
              "o_totalprice": df["o_totalprice"]}
         )
+        # map-side partial: this batch's top-3 per segment
+        return (out.sort_values(["o_totalprice", "o_orderkey"],
+                                ascending=[False, True], kind="mergesort")
+                   .groupby("c_mktsegment", as_index=False).head(3))
 
     def top3(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"],
@@ -677,7 +687,7 @@ def ranked_orders(sf_dir: str) -> pd.DataFrame:
         return g[["c_mktsegment", "o_orderkey", "o_totalprice", "rnk"]]
 
     out = (
-        ds.map_batches(project, batch_format="pandas")
+        ds.map_batches(project_top3, batch_format="pandas")
         .groupby("c_mktsegment")
         .map_groups(top3, batch_format="pandas")
         .to_pandas()
@@ -685,17 +695,28 @@ def ranked_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["c_mktsegment", "rnk"]).reset_index(drop=True)
 
 
-def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
+# exact grouped quantiles require the group's values CO-LOCATED in one
+# task; beyond this many rows per group that is a memory/straggler
+# hazard, and the mergeable-histogram sketch is the right tool
+_EXACT_QUANTILE_GROUP_LIMIT = 50_000_000
+
+
+def order_price_quantiles(sf_dir: str, *,
+                          max_group_rows: int = _EXACT_QUANTILE_GROUP_LIMIT,
+                          ) -> pd.DataFrame:
     """Per-segment exact discrete quantiles (p25/p50/p90) of order
     totalprice — a grouped-quantile aggregate Ray Data lacks.  The
     shuffle moves only the (segment, price) projection.  The index
     convention matches DuckDB ``quantile_disc`` exactly:
     idx = ceil(q·n) − 1, computed in INTEGER arithmetic — a float q·n
     diverges (0.9·10 = 9.000000000000002 → ceil 10) where DuckDB's
-    decimal-typed q stays exact.  At 10^12-row groups exact quantiles
-    genuinely need the group's values co-located; prefer a sampled/
-    sketched variant there (cf. sketch_agg's HLL route) — documented
-    trade-off, not a silent one."""
+    decimal-typed q stays exact.
+
+    Exact grouped quantiles need each group's values co-located in one
+    task — the documented trade-off is ENFORCED: a group larger than
+    ``max_group_rows`` raises with a pointer at the mergeable-histogram
+    sketch (``approx_price_quantiles`` / ``sketch_agg.approx_quantiles``)
+    instead of silently OOMing/straggling at corpus scale."""
     ref = _broadcast_custseg(sf_dir)
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -707,6 +728,14 @@ def order_price_quantiles(sf_dir: str) -> pd.DataFrame:
         )
 
     def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_group_rows:
+            raise ValueError(
+                f"group {g['c_mktsegment'].iloc[0]!r} has {len(g)} rows > "
+                f"max_group_rows={max_group_rows}: exact grouped quantiles "
+                f"co-locate the whole group — use approx_price_quantiles "
+                f"(mergeable histogram sketch) at this scale, or raise "
+                f"max_group_rows explicitly"
+            )
         v = np.sort(g["o_totalprice"].to_numpy())
         n = len(v)
 

@@ -564,7 +564,9 @@ class HyperplaneBucketer:
         return np.random.RandomState(self._SEED).standard_normal((dim, self.n_planes))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        from .util import list_column_to_matrix
+
+        vecs = list_column_to_matrix(batch[self.vec_col])
         dim = vecs.shape[1] if vecs.ndim == 2 else 0
         if self._planes is None or self._planes.shape[0] != dim:
             self._planes = self._build(dim)

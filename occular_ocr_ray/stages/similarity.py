@@ -17,11 +17,13 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .util import default_pool
+from .util import default_pool, list_column_to_matrix
 
 
 def _as_matrix(col) -> np.ndarray:
-    return np.array(col.to_pylist(), dtype=np.float64)
+    """Arrow list column → (n, d) float64 matrix, zero-copy flatten +
+    reshape (no per-float Python boxing — see util.list_column_to_matrix)."""
+    return list_column_to_matrix(col)
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -53,7 +55,8 @@ class _BatchTopK:
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist(), dtype=np.int64)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
         unit = _unit(_as_matrix(batch[self.vec_col]))
         sims = self.qunit @ unit.T  # (n_query, n_batch)
         out_q, out_n, out_s = [], [], []

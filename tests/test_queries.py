@@ -82,6 +82,18 @@ def test_rows_only_queries_run(name, sf_dir):
     )
 
 
+def test_exact_quantile_gate(sf_dir):
+    """Exact grouped quantiles enforce their co-location trade-off: a
+    group larger than max_group_rows raises with a pointer at the
+    mergeable sketch path instead of silently co-locating the group."""
+    from occular_ocr_ray.pipelines.relational import order_price_quantiles
+
+    with pytest.raises(Exception, match="approx_price_quantiles"):
+        order_price_quantiles(sf_dir, max_group_rows=10)
+    # within the gate the exact path is unchanged
+    assert len(order_price_quantiles(sf_dir)) == 5
+
+
 def test_entry_smoke():
     res = entrymod.entry()
     df = _to_pandas(res if not hasattr(res, "to_pandas") else res)
