@@ -86,6 +86,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pre-bucketed", action="store_true",
                     help="input dir is already a small/ + giant/ layout "
                          "(bucket_pages_by_size output)")
+    ap.add_argument("--target-file-bytes", type=int, default=128 * 1024 * 1024,
+                    metavar="BYTES",
+                    help="coalesce each write task's output into parquet "
+                         "files of ~BYTES (0 = one file per block; layout "
+                         "only, bytes identical)")
+    ap.add_argument("--min-rows-per-write", type=int, default=None,
+                    metavar="ROWS",
+                    help="bundle upstream blocks so each write call gets "
+                         "at least ROWS rows (cross-task small-file fix; "
+                         "adds a buffering boundary)")
     ap.add_argument("--json-out", default=None, metavar="DIR",
                     help="also write extracted rows as JSON files under DIR")
     ap.add_argument("--stdout-text", action="store_true",
@@ -143,6 +153,8 @@ def main(argv: list[str] | None = None) -> int:
             giant_threshold=args.giant_threshold,
             extractor_kwargs=_parse_extractor_args(args.extractor_arg),
             pre_bucketed=pre_bucketed,
+            target_file_bytes=args.target_file_bytes or None,
+            min_rows_per_write=args.min_rows_per_write,
         )
         if args.json_out:
             # JSON file sink (reference --out, cli.py:161-164): one JSON

@@ -291,6 +291,38 @@ def test_resume_rejects_changed_params(pages_dir, tmp_path):
     assert all(w["status"] == "ran" for w in s2["waves"].values())
 
 
+def test_wave_output_compaction(pages_dir, tmp_path):
+    """Output compaction (the 100-TB small-file fix): bundling write
+    calls (min_rows_per_write) + per-task byte coalescing
+    (target_file_bytes) bounds the file count, with identical extracted
+    bytes and identical per-part manifests."""
+    a = _extract_hashes(pages_dir, str(tmp_path / "flat"), num_waves=1,
+                        batch_size=4, target_file_bytes=None)
+    b = _extract_hashes(pages_dir, str(tmp_path / "compact"), num_waves=1,
+                        batch_size=4, target_file_bytes=1 << 30,
+                        min_rows_per_write=100)
+    assert a == b
+    import pathlib
+
+    flat = list(pathlib.Path(tmp_path / "flat" / "data").rglob("*.parquet"))
+    comp = list(pathlib.Path(tmp_path / "compact" / "data").rglob("*.parquet"))
+    # 500 rows at ≥100 rows per write call and one (huge-target) file
+    # per call → at most ~5 files + stragglers; flat wrote one per task
+    assert len(comp) < len(flat)
+    assert len(comp) <= 8
+    # identical per-part rollups (manifest digest is layout-independent)
+    def digest(d):
+        with open(os.path.join(d, "manifest", "wave_0.json")) as fh:
+            return json.load(fh)["rollup_digest"]
+    assert digest(tmp_path / "flat") == digest(tmp_path / "compact")
+    # resume still skips cleanly under the compacted layout
+    from occular_ocr_ray.pipelines.flagship import run_extraction
+    s = run_extraction(pages_dir, str(tmp_path / "compact"), num_waves=1,
+                       batch_size=4, target_file_bytes=1 << 30,
+                       min_rows_per_write=100)
+    assert all(w["status"] == "skipped" for w in s["waves"].values())
+
+
 def test_resume_legacy_manifest_recomputes(pages_dir, tmp_path):
     """A pre-params-guard manifest (no 'params' key) can't prove its
     parameter identity — resume RECOMPUTES that wave instead of
