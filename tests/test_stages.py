@@ -675,6 +675,90 @@ def test_incremental_index_snapshot_restore(tmp_path):
                 h.shutdown()
 
 
+def test_incremental_spill_store_semantics(tmp_path):
+    """The off-heap store (bounded hot dict + bloom-indexed sorted
+    parquet runs) is semantics-identical to the dict store: cross-run
+    dedup, retry idempotency ACROSS a spill flush, content replay, and
+    index_size all behave the same with max_hot small enough that every
+    batch forces a spill."""
+    import os
+
+    import ray
+
+    from occular_ocr_ray.state.incremental import (
+        IncrementalDeduper,
+        _FingerprintShard,
+    )
+
+    dd = IncrementalDeduper(num_shards=2, store="spill",
+                            spill_dir=str(tmp_path / "idx"), max_hot=3)
+    try:
+        day1 = _docs_ds([(i, f"s-{i}") for i in range(1, 21)]
+                        + [(21, "s-1")])
+        assert dd.dedup(day1).count() == 20
+        assert dd.index_size() == 20
+        # spills actually happened (max_hot=3 over ~10 fps/shard)
+        assert any(
+            f.endswith(".parquet")
+            for shard in os.listdir(tmp_path / "idx")
+            for f in os.listdir(tmp_path / "idx" / shard)
+        )
+        day2 = _docs_ds([(31, "s-5"), (32, "s-19"), (33, "fresh")])
+        out = dd.dedup(day2).to_pandas()
+        assert sorted(out["doc_id"]) == [33]
+        assert dd.index_size() == 21
+        # identical content replayed in a LATER call dedups to zero
+        assert dd.dedup(_docs_ds([(41, "fresh")])).count() == 0
+    finally:
+        dd.shutdown()
+
+    # retry idempotency across a flush: admit, force-spill, re-admit
+    # with the original batch key → original answers come back from the
+    # parquet run, any other key does not
+    shard = ray.remote(num_cpus=0)(_FingerprintShard).remote(
+        store="spill", spill_dir=str(tmp_path / "one"), max_hot=1)
+    fps = [b"a" * 16, b"b" * 16, b"a" * 16]
+    first = ray.get(shard.admit.remote(fps, b"batchA"))
+    assert first == [True, True, False]
+    assert ray.get(shard.admit.remote(fps, b"batchA")) == first
+    assert ray.get(shard.admit.remote(fps, b"batchB")) == [False] * 3
+    ray.kill(shard)
+
+
+def test_incremental_spill_snapshot_interop(tmp_path):
+    """Snapshots are store-independent: a dict-built index loads into
+    the spill store (and back) with content and retry keys intact."""
+    import ray
+
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    snap = str(tmp_path / "snap")
+    dd = IncrementalDeduper(num_shards=3)
+    assert dd.dedup(_docs_ds([(1, "x-a"), (2, "x-b")])).count() == 2
+    dd.save(snap)
+    dd.shutdown()
+
+    dd2 = dd3 = None
+    try:
+        dd2 = IncrementalDeduper.load(snap, store="spill",
+                                      spill_dir=str(tmp_path / "sp"),
+                                      max_hot=2)
+        assert dd2.index_size() == 2
+        out = dd2.dedup(_docs_ds([(3, "x-a"), (4, "x-new")])).to_pandas()
+        assert sorted(out["doc_id"]) == [4]
+        # spill-built snapshot loads back into a dict store
+        snap2 = str(tmp_path / "snap2")
+        assert dd2.save(snap2) == 3
+        dd2.shutdown()
+        dd3 = IncrementalDeduper.load(snap2)  # dict store
+        assert dd3.index_size() == 3
+        assert dd3.dedup(_docs_ds([(5, "x-new"), (6, "x-c")])).count() == 1
+    finally:
+        for h in (dd2, dd3):
+            if h is not None and h.shards:
+                h.shutdown()
+
+
 def test_incremental_named_index_shard_count_guard():
     """Attaching to a live named index with a different num_shards must
     raise (routing is fp % num_shards — a silent mismatch would
