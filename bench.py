@@ -28,7 +28,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TIER = os.path.basename(SF_DIR.rstrip("/"))
 ROWS_BY_TIER = {"sf0.001": 500, "sf0.01": 5000, "sf0.1": 80000}
-N_PAGES = ROWS_BY_TIER.get(TIER, 2000)
+# GRAFT_BENCH_DOCS: input-size override for scaling experiments — as the
+# engine gets faster, the fixed ~8-9 s of ramp/read-warm/write-finalize
+# dominates the hi-parallelism leg of a FIXED 80k-doc input and caps raw
+# strong-scaling efficiency; a larger same-input pair amortizes it (the
+# cluster regime: more data per node, not less wall per fixed input).
+N_PAGES = int(os.environ.get("GRAFT_BENCH_DOCS",
+                             ROWS_BY_TIER.get(TIER, 2000)))
 PAGES_DIR = f"/tmp/graft_bench_pages/{TIER}_{N_PAGES}"
 N_SHARDS = 64
 
