@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": R.incremental_dedup_q,
         "tfidf_top_terms": R.tfidf_top_terms,
         "top_tokens": R.top_tokens,
+        "top_bigrams": R.top_bigrams,
+        "doc_length_histogram": R.doc_length_histogram,
         "pii_redaction": R.pii_redaction,
         "doc_repetition": R.doc_repetition,
         "dataset_split": R.dataset_split,
@@ -843,6 +845,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE token <> ''
             GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+        """,
+        "top_bigrams": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text, '\\s+')) AS tok,
+                     generate_subscripts(string_split_regex(text, '\\s+'), 1) AS i
+              FROM documents),
+            bg AS (
+              SELECT tok || ' ' ||
+                     LEAD(tok) OVER (PARTITION BY doc_id ORDER BY i) AS token
+              FROM toks WHERE tok <> '')
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM bg WHERE token IS NOT NULL
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+        """,
+        "doc_length_histogram": """
+            SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY bucket ORDER BY bucket
         """,
         "dataset_split": """
             WITH h AS (

@@ -1111,6 +1111,51 @@ def top_tokens(sf_dir: str) -> pd.DataFrame:
     return topk_by_frequency(ds, "text", k=10, capacity=4096)
 
 
+def _bigram_tokens(text: str) -> list[str]:
+    toks = text.split()
+    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def top_bigrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide exact top-10 BIGRAMS — the same Misra-Gries
+    sketch+verify two-pass as ``top_tokens`` with a bigram tokenizer
+    plugged in (``topk_by_frequency(tokenize=)``): the n-gram stream is
+    ~vocabulary² so the heavy-hitters discipline matters even more here
+    than for unigrams; shuffle volume stays ≤ capacity rows per batch,
+    never the gram stream.  Bigram frequency screens are the standard
+    boilerplate/template detector in web-corpus pipelines."""
+    from ..stages.sketch_agg import topk_by_frequency
+
+    ds = _t(sf_dir, "documents", ["text"])
+    return topk_by_frequency(ds, "text", k=10, capacity=8192,
+                             tokenize=_bigram_tokens)
+
+
+def doc_length_histogram(sf_dir: str) -> pd.DataFrame:
+    """Corpus length distribution in log2 buckets (bucket =
+    floor(log2(max(n_chars, 1)))) — the first-look data-quality
+    histogram every corpus pass starts with.  Scale shape: each batch
+    collapses to ≤ ~40 partial rows map-side (one per occupied bucket),
+    so the groupby merges bucket partials, never documents.  Exact
+    (log2 of float64 is exact at the power-of-two boundaries on both
+    the numpy and DuckDB side)."""
+    ds = _t(sf_dir, "documents", ["n_chars"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_chars"].to_numpy(dtype=np.int64)
+        bucket = np.floor(np.log2(np.maximum(n, 1))).astype(np.int64)
+        out = pd.DataFrame({"bucket": bucket, "n_chars": n,
+                            "one": np.int64(1)})
+        return out.groupby("bucket", as_index=False).agg(
+            n_docs=("one", "sum"), total_chars=("n_chars", "sum"))
+
+    out = _partial_groupby(ds, ["bucket"], partials,
+                           [("n_docs", "i"), ("total_chars", "i")]).to_pandas()
+    for c in ("bucket", "n_docs", "total_chars"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
 def events_user_gaps(sf_dir: str) -> pd.DataFrame:
     """LAG window: per-user inter-event gaps (ts − previous ts within
     the user's timeline, ordered ts then event_id), aggregated to

@@ -207,6 +207,37 @@ class _FingerprintShard:
         self.runs.append(_SortedRun(path))
         self.seen = {}
 
+    def compact_runs(self) -> int:
+        """Merge every spilled run (hot set folded in) into ONE sorted
+        run — bounds the per-lookup bloom/probe fan-out after many
+        flushes.  This sandbox implementation materializes the merge in
+        memory (runs are shard-local and bounded by the test tier); at
+        the >1 B-digests scale swap in an external k-way merge over the
+        already-sorted runs — same file format, same interface.
+        Returns total fingerprints.  No-op for the dict store."""
+        import glob
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if self.store != "spill" or not self.runs:
+            return self.size()
+        parts = [pa.table({
+            "fp": pa.array(list(self.seen.keys()), pa.binary()),
+            "batch_key": pa.array(list(self.seen.values()), pa.binary()),
+        })] + [pq.read_table(r.path) for r in self.runs]
+        tbl = pa.concat_tables(parts)
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("fp", "ascending")]))
+        tmp = os.path.join(self.spill_dir, "compact.parquet.tmp")
+        pq.write_table(tbl, tmp, row_group_size=65536)
+        for f in glob.glob(os.path.join(self.spill_dir, "run_*.parquet")):
+            os.remove(f)
+        rpath = os.path.join(self.spill_dir, "run_000000.parquet")
+        os.replace(tmp, rpath)
+        self.seen, self.runs = {}, [_SortedRun(rpath)]
+        return tbl.num_rows
+
     def _lookup_runs(self, fps: list[bytes]) -> dict[bytes, bytes]:
         """Batched read-through over the spilled runs (newest owns
         nothing older doesn't — runs are disjoint by construction)."""
@@ -491,6 +522,12 @@ class IncrementalDeduper:
 
     def index_size(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def compact(self) -> int:
+        """Merge each spill shard's runs into one (no-op for dict
+        shards).  Run between increments when many flushes have
+        accumulated.  Returns total fingerprints."""
+        return sum(ray.get([s.compact_runs.remote() for s in self.shards]))
 
     def shutdown(self) -> None:
         for s in self.shards:

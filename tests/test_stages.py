@@ -725,6 +725,37 @@ def test_incremental_spill_store_semantics(tmp_path):
     ray.kill(shard)
 
 
+def test_incremental_spill_compaction(tmp_path):
+    """compact() merges many spilled runs into one per shard with
+    identical semantics before and after (dedup decisions, retry keys,
+    index size)."""
+    import os
+
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    dd = IncrementalDeduper(num_shards=2, store="spill",
+                            spill_dir=str(tmp_path / "idx"), max_hot=2)
+    try:
+        ds = _docs_ds([(i, f"c-{i}") for i in range(30)]).repartition(6)
+        assert dd.dedup(ds).count() == 30
+        runs_before = sum(
+            1 for shard in os.listdir(tmp_path / "idx")
+            for f in os.listdir(tmp_path / "idx" / shard)
+            if f.startswith("run_"))
+        assert runs_before > 2
+        assert dd.compact() == 30
+        runs_after = sum(
+            1 for shard in os.listdir(tmp_path / "idx")
+            for f in os.listdir(tmp_path / "idx" / shard)
+            if f.startswith("run_"))
+        assert runs_after <= 2  # one per shard
+        assert dd.index_size() == 30
+        out = dd.dedup(_docs_ds([(40, "c-7"), (41, "c-29"), (42, "post")]))
+        assert sorted(out.to_pandas()["doc_id"]) == [42]
+    finally:
+        dd.shutdown()
+
+
 def test_incremental_spill_snapshot_interop(tmp_path):
     """Snapshots are store-independent: a dict-built index loads into
     the spill store (and back) with content and retry keys intact."""
