@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": R.knn_bruteforce_q,
         "label_centroids": R.label_centroids,
         "knn_ivf": R.knn_ivf_q,
+        "ivf_recall": R.ivf_recall,
         "embedding_neardup": R.embedding_neardup_q,
         # flagship extraction + text analysis (rows-only)
         "extract_pages": R.extract_pages_q,
@@ -1084,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
                 "simhash_pairs": "id_a, id_b",
                 "minhash_dedup_keep": "doc_id",
                 "knn_ivf": "query_id, rank",
+                "ivf_recall": "query_id",
                 "embedding_neardup": "id_a, id_b",
                 "media_decode": "media_id",
                 "extract_pages": "url",

@@ -308,6 +308,32 @@ def knn_bruteforce_q(sf_dir: str) -> pd.DataFrame:
 
 # --- rows-only queries (no SQL oracle; deterministic) ------------------
 
+def ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """ANN quality evaluation: per-query overlap@5 between the IVF
+    partition-pruned search (`knn_ivf`, nprobe=4/16 clusters) and the
+    exact brute-force top-5 (`knn_bruteforce`) — the recall measurement
+    every ANN deployment gates on before trading exactness for pruned
+    reads.  Deterministic end-to-end (seeded k-means on a deterministic
+    sample; (sim desc, id asc) tie-breaks), so the output is pinnable.
+    Scale shape: both searches stream the corpus with broadcast queries;
+    the comparison itself is |queries| rows on the driver."""
+    from ..stages.similarity import knn_bruteforce, knn_ivf
+
+    K, QIDS = 5, [0, 1, 2, 3, 4]
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = knn_bruteforce(ds, query_ids=QIDS, k=K).to_pandas()
+    approx = knn_ivf(ds, query_ids=QIDS, k=K, n_clusters=16,
+                     nprobe=4).to_pandas()
+    ex = exact.groupby("query_id")["neighbor_id"].agg(set)
+    ap = approx.groupby("query_id")["neighbor_id"].agg(set)
+    rows = [{
+        "query_id": int(q),
+        "n_overlap": np.int64(len(ex[q] & ap.get(q, set()))),
+        "recall_at_5": round(len(ex[q] & ap.get(q, set())) / len(ex[q]), 3),
+    } for q in sorted(ex.index)]
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
 def _pairs_df(ds) -> pd.DataFrame:
     """Materialize a pair Dataset robustly: an all-empty map_groups
     result can come back schemaless — normalize to the pair schema."""

@@ -38,6 +38,10 @@ PINNED = [
     "simhash_pairs",
     "minhash_dedup_keep",
     "knn_ivf",
+    # ANN recall eval (IVF vs brute-force overlap@5): deterministic by
+    # construction; the pinned value additionally documents the index's
+    # measured recall at these params.
+    "ivf_recall",
     "embedding_neardup",
     "media_decode",
     "extract_pages",
@@ -75,6 +79,8 @@ def _sanity(name: str, df) -> None:
         assert df["doc_id"].is_monotonic_increasing and df["doc_id"].is_unique
     if name == "knn_ivf":
         assert set(df.groupby("query_id")["rank"].max()) == {5}
+    if name == "ivf_recall":
+        assert (df["recall_at_5"] > 0).all()  # nprobe=4/16 finds SOMETHING
 
 
 def main() -> None:
