@@ -159,6 +159,62 @@ def _np():
     return numpy
 
 
+_RUN_SCHEMA = None  # built lazily (pa.schema at import time is fine too)
+
+
+def _run_schema():
+    global _RUN_SCHEMA
+    if _RUN_SCHEMA is None:
+        _RUN_SCHEMA = pa.schema([("fp", pa.binary()),
+                                 ("batch_key", pa.binary())])
+    return _RUN_SCHEMA
+
+
+def _iter_run(path: str):
+    """Stream a sorted run's (fp, batch_key) pairs one row group at a
+    time — bounded memory regardless of run size."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    for i in range(pf.metadata.num_row_groups):
+        t = pf.read_row_group(i, columns=["fp", "batch_key"])
+        yield from zip(t["fp"].to_pylist(), t["batch_key"].to_pylist())
+
+
+def _write_sorted_stream(pairs, path: str, *,
+                         row_group_size: int = 65536) -> int:
+    """Write an iterator of fp-ordered (fp, batch_key) pairs to one
+    sorted parquet via tmp+rename, buffering one row group at a time.
+    Returns rows written."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tmp = path + ".tmp"
+    n = 0
+    writer = pq.ParquetWriter(tmp, _run_schema())
+    try:
+        fps, bks = [], []
+        for fp, bk in pairs:
+            fps.append(fp)
+            bks.append(bk)
+            if len(fps) >= row_group_size:
+                writer.write_table(pa.table(
+                    {"fp": pa.array(fps, pa.binary()),
+                     "batch_key": pa.array(bks, pa.binary())}))
+                n += len(fps)
+                fps, bks = [], []
+        if fps:
+            writer.write_table(pa.table(
+                {"fp": pa.array(fps, pa.binary()),
+                 "batch_key": pa.array(bks, pa.binary())}))
+            n += len(fps)
+    finally:
+        writer.close()
+    os.replace(tmp, path)
+    return n
+
+
 class _FingerprintShard:
     """Owner of one hash-range of the fingerprint space.
 
@@ -207,36 +263,36 @@ class _FingerprintShard:
         self.runs.append(_SortedRun(path))
         self.seen = {}
 
+    def _merged_pairs(self):
+        """Streaming k-way merge of the hot set + every sorted run, in
+        fp order — `heapq.merge` over one-row-group-at-a-time readers,
+        so memory stays bounded at (runs × one row group) regardless of
+        index size (the >1 B-digests path; runs hold disjoint fps by
+        construction, so no duplicate resolution is needed)."""
+        import heapq
+
+        sources = [iter(sorted(self.seen.items()))]
+        sources += [_iter_run(r.path) for r in self.runs]
+        return heapq.merge(*sources, key=lambda kv: kv[0])
+
     def compact_runs(self) -> int:
         """Merge every spilled run (hot set folded in) into ONE sorted
-        run — bounds the per-lookup bloom/probe fan-out after many
-        flushes.  This sandbox implementation materializes the merge in
-        memory (runs are shard-local and bounded by the test tier); at
-        the >1 B-digests scale swap in an external k-way merge over the
-        already-sorted runs — same file format, same interface.
-        Returns total fingerprints.  No-op for the dict store."""
+        run via the streaming external merge — bounds the per-lookup
+        bloom/probe fan-out after many flushes.  Returns total
+        fingerprints.  No-op for the dict store."""
         import glob
         import os
 
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
         if self.store != "spill" or not self.runs:
             return self.size()
-        parts = [pa.table({
-            "fp": pa.array(list(self.seen.keys()), pa.binary()),
-            "batch_key": pa.array(list(self.seen.values()), pa.binary()),
-        })] + [pq.read_table(r.path) for r in self.runs]
-        tbl = pa.concat_tables(parts)
-        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("fp", "ascending")]))
-        tmp = os.path.join(self.spill_dir, "compact.parquet.tmp")
-        pq.write_table(tbl, tmp, row_group_size=65536)
+        cpath = os.path.join(self.spill_dir, "compact.parquet")
+        n = _write_sorted_stream(self._merged_pairs(), cpath)
         for f in glob.glob(os.path.join(self.spill_dir, "run_*.parquet")):
             os.remove(f)
         rpath = os.path.join(self.spill_dir, "run_000000.parquet")
-        os.replace(tmp, rpath)
+        os.replace(cpath, rpath)
         self.seen, self.runs = {}, [_SortedRun(rpath)]
-        return tbl.num_rows
+        return n
 
     def _lookup_runs(self, fps: list[bytes]) -> dict[bytes, bytes]:
         """Batched read-through over the spilled runs (newest owns
@@ -256,38 +312,26 @@ class _FingerprintShard:
     # -- actor interface ---------------------------------------------------
     def dump(self, path: str) -> int:
         """Snapshot this shard's FULL state (hot + spilled runs) to one
-        fp-sorted parquet file (tmp+rename: a torn write never
-        masquerades as a snapshot).  The admitting batch keys are
-        persisted too, so retry idempotency survives a save/load cycle.
-        Snapshot format is store-independent — a dict-store snapshot
-        loads into a spill store and vice versa."""
-        import os
-
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        parts = [pa.table({
-            "fp": pa.array(list(self.seen.keys()), pa.binary()),
-            "batch_key": pa.array(list(self.seen.values()), pa.binary()),
-        })]
-        for r in self.runs:
-            parts.append(pq.read_table(r.path))
-        tbl = pa.concat_tables(parts)
-        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("fp", "ascending")]))
-        tmp = path + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, path)
-        return tbl.num_rows
+        fp-sorted parquet file (tmp+rename inside the stream writer: a
+        torn write never masquerades as a snapshot), via the same
+        streaming merge as compaction — snapshot memory stays bounded
+        at any index size.  The admitting batch keys are persisted too,
+        so retry idempotency survives a save/load cycle.  Snapshot
+        format is store-independent — a dict-store snapshot loads into
+        a spill store and vice versa."""
+        return _write_sorted_stream(self._merged_pairs(), path)
 
     def restore(self, path: str) -> int:
         """Replace this shard's state with a snapshot file's content.
         A spill store lands the snapshot as its first sorted run (reset
-        hot set) — restore memory stays bounded at any snapshot size."""
-        import pyarrow.compute as pc
+        hot set): `dump()` snapshots are already fp-sorted, so the copy
+        streams row group by row group (bounded memory at any snapshot
+        size); an unsorted legacy snapshot falls back to one in-memory
+        sort."""
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(path)
         if self.store == "dict":
+            tbl = pq.read_table(path)
             self.seen = dict(
                 zip(tbl["fp"].to_pylist(), tbl["batch_key"].to_pylist())
             )
@@ -298,14 +342,31 @@ class _FingerprintShard:
         for f in glob.glob(os.path.join(self.spill_dir, "run_*.parquet")):
             os.remove(f)
         self.seen, self.runs = {}, []
-        if tbl.num_rows:
+        if pq.ParquetFile(path).metadata.num_rows == 0:
+            return 0
+        rpath = os.path.join(self.spill_dir, "run_000000.parquet")
+
+        def checked_stream():
+            prev = None
+            for fp, bk in _iter_run(path):
+                if prev is not None and fp < prev:
+                    raise ValueError("unsorted")
+                prev = fp
+                yield fp, bk
+
+        try:
+            n = _write_sorted_stream(checked_stream(), rpath)
+        except ValueError:  # legacy unsorted snapshot: sort once
+            import pyarrow.compute as pc
+
+            tbl = pq.read_table(path)
             tbl = tbl.take(pc.sort_indices(tbl,
                                            sort_keys=[("fp", "ascending")]))
-            rpath = os.path.join(self.spill_dir, "run_000000.parquet")
-            pq.write_table(tbl, rpath + ".tmp", row_group_size=65536)
-            os.replace(rpath + ".tmp", rpath)
-            self.runs.append(_SortedRun(rpath))
-        return tbl.num_rows
+            n = _write_sorted_stream(
+                zip(tbl["fp"].to_pylist(), tbl["batch_key"].to_pylist()),
+                rpath)
+        self.runs.append(_SortedRun(rpath))
+        return n
 
     def admit(self, fps: list[bytes], batch_key: bytes) -> list[bool]:
         """First-writer-wins with retry idempotency: True where fp is

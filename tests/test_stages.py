@@ -790,6 +790,47 @@ def test_incremental_spill_snapshot_interop(tmp_path):
                 h.shutdown()
 
 
+def test_incremental_spill_restores_legacy_unsorted_snapshot(tmp_path):
+    """Pre-r4 dict-store snapshots were written in dict order (unsorted);
+    the spill store's streaming restore must detect that and fall back
+    to a one-time sort instead of building a broken sorted-run index."""
+    import hashlib as _hl
+    import json
+    import os
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    texts = ["leg-a", "leg-b", "leg-c", "leg-d"]
+    fps = [_hl.md5(t.encode()).digest() for t in texts]
+    snap = tmp_path / "snap"
+    os.makedirs(snap)
+    n_shards = 2
+    by_shard = {i: [] for i in range(n_shards)}
+    for fp in fps:
+        by_shard[int.from_bytes(fp[:8], "little") % n_shards].append(fp)
+    for i in range(n_shards):
+        rows = sorted(by_shard[i], reverse=True)  # deliberately unsorted
+        pq.write_table(pa_.table({
+            "fp": pa_.array(rows, pa_.binary()),
+            "batch_key": pa_.array([b"k" * 16] * len(rows), pa_.binary()),
+        }), str(snap / f"shard_{i:04d}.parquet"))
+    with open(snap / "meta.json", "w") as fh:
+        json.dump({"version": 1, "num_shards": n_shards,
+                   "text_col": "text", "total": len(fps)}, fh)
+
+    dd = IncrementalDeduper.load(str(snap), store="spill",
+                                 spill_dir=str(tmp_path / "sp"), max_hot=2)
+    try:
+        assert dd.index_size() == 4
+        out = dd.dedup(_docs_ds([(1, "leg-b"), (2, "brand-new")]))
+        assert sorted(out.to_pandas()["doc_id"]) == [2]
+    finally:
+        dd.shutdown()
+
+
 def test_incremental_named_index_shard_count_guard():
     """Attaching to a live named index with a different num_shards must
     raise (routing is fp % num_shards — a silent mismatch would
