@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": R.pii_redaction,
         "doc_repetition": R.doc_repetition,
         "dataset_split": R.dataset_split,
+        "split_leakage": R.split_leakage,
         "packing_plan": R.packing_plan,
         "unigram_logprob": R.unigram_logprob,
         "quality_gate_p75": R.quality_gate_p75,
@@ -1086,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
                 "minhash_dedup_keep": "doc_id",
                 "knn_ivf": "query_id, rank",
                 "ivf_recall": "query_id",
+                "split_leakage": "id_a, id_b",
                 "embedding_neardup": "id_a, id_b",
                 "media_decode": "media_id",
                 "extract_pages": "url",

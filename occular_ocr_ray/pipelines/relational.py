@@ -1487,6 +1487,50 @@ def dataset_split(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["lang", "split"]).reset_index(drop=True)
 
 
+def _split_of(ids: np.ndarray) -> np.ndarray:
+    """The deterministic train/val/test assignment `dataset_split`
+    uses (Knuth hash ranges 13/1/2 of 16), shared so audits can't
+    drift from the split they audit."""
+    K, M = np.uint64(2654435761), np.uint64(1 << 32)
+    t_train, t_val = np.uint64(13 << 28), np.uint64(14 << 28)
+    h = ((ids.astype(np.uint64) % M) * K) % M
+    return np.where(h < t_train, "train", np.where(h < t_val, "val", "test"))
+
+
+def split_leakage(sf_dir: str) -> pd.DataFrame:
+    """Eval-hygiene audit: NEAR-duplicate pairs (MinHash-LSH, the same
+    detector `minhash_pairs` pins) whose two members land in DIFFERENT
+    splits of the deterministic train/val/test assignment — the
+    train→test contamination that near-dedup-before-split must drive to
+    zero.  Exact-dup leakage is the trivial subset (this synthetic
+    corpus has no exact dups at the small tiers — a near-dup audit is
+    the non-vacuous one).
+
+    Scale shape: the pair set is already signature-bucketed and tiny
+    relative to the corpus; split assignment is a pure hash of doc_id,
+    so the audit adds NO extra pass over the corpus text.  Pinned
+    oracle (LSH has no ANSI-SQL semantics); determinism inherited from
+    `minhash_pairs`."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    pairs = _pairs_df(minhash_lsh_pairs(ds, threshold=0.5))
+    if pairs.empty:
+        return pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "split_a": pd.Series([], dtype=str),
+            "split_b": pd.Series([], dtype=str),
+        })
+    pairs = pairs.assign(
+        split_a=_split_of(pairs["id_a"].to_numpy()),
+        split_b=_split_of(pairs["id_b"].to_numpy()),
+    )
+    out = pairs[pairs["split_a"] != pairs["split_b"]]
+    out = out[["id_a", "id_b", "split_a", "split_b"]]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def packing_plan(sf_dir: str) -> pd.DataFrame:
     """Sequence-packing plan (contiguous-fill): per language, docs in
     doc_id order are assigned to 2048-token bins by

@@ -42,6 +42,9 @@ PINNED = [
     # construction; the pinned value additionally documents the index's
     # measured recall at these params.
     "ivf_recall",
+    # near-dup train/test leakage audit: LSH pair set × hash-split —
+    # deterministic (inherits minhash_pairs' determinism + pure hash).
+    "split_leakage",
     "embedding_neardup",
     "media_decode",
     "extract_pages",
@@ -81,6 +84,9 @@ def _sanity(name: str, df) -> None:
         assert set(df.groupby("query_id")["rank"].max()) == {5}
     if name == "ivf_recall":
         assert (df["recall_at_5"] > 0).all()  # nprobe=4/16 finds SOMETHING
+    if name == "split_leakage":
+        assert len(df) > 0, "leakage audit is vacuous at sf0.01 — check"
+        assert (df["split_a"] != df["split_b"]).all()
 
 
 def main() -> None:
