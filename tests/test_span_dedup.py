@@ -107,6 +107,67 @@ def test_rolling_hasher_matches_blake2b_results():
     assert sorted(ga.tolist()) == sorted(gb.tolist())
 
 
+def test_rolling_hash_matches_direct_polynomial():
+    """Pure-math check: the prefix-product rolling kernel equals the
+    direct Σ th[i+j]·B^(w-1-j) mod 2^64 definition, windows and all."""
+    import numpy as np
+
+    from occular_ocr_ray.stages.span_dedup import (
+        _B,
+        _pow_table,
+        _BINV,
+        _rolling_gram_hashes,
+    )
+
+    rng = np.random.RandomState(9)
+    M = 1 << 64
+    for n, w in [(1, 1), (5, 5), (8, 3), (40, 8), (100, 16)]:
+        th = rng.randint(0, 2**63, size=n).astype(np.uint64)
+        got = _rolling_gram_hashes(th, w, _pow_table(_B, n),
+                                   _pow_table(_BINV, n))
+        exp = [
+            sum(int(th[i + j]) * pow(_B, w - 1 - j, M) for j in range(w)) % M
+            for i in range(n - w + 1)
+        ]
+        assert [int(x) & (M - 1) for x in got.astype(object)] == exp
+
+
+def test_list_column_to_matrix_matches_boxed():
+    """Zero-copy flatten→reshape equals the boxed to_pylist conversion
+    on list, large_list, fixed_size_list, sliced, float32/64, empty."""
+    import numpy as np
+    import pyarrow as pa
+
+    from occular_ocr_ray.stages.util import list_column_to_matrix
+
+    rng = np.random.RandomState(4)
+    rows, dim = 37, 19
+    flat32 = rng.standard_normal(rows * dim).astype(np.float32)
+    offs = pa.array(np.arange(0, rows * dim + 1, dim, dtype=np.int32))
+    cases = [
+        pa.ListArray.from_arrays(offs, pa.array(flat32)),
+        pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, rows * dim + 1, dim, dtype=np.int64)),
+            pa.array(flat32.astype(np.float64))),
+        pa.FixedSizeListArray.from_arrays(pa.array(flat32), dim),
+    ]
+    cases += [c.slice(5, 20) for c in list(cases)]
+    cases.append(pa.array([], pa.list_(pa.float64())))
+    for arr in cases:
+        got = list_column_to_matrix(arr)
+        exp = np.array(arr.to_pylist(), dtype=np.float64)
+        if len(arr) == 0:
+            assert got.shape[0] == 0
+            continue
+        np.testing.assert_array_equal(got, exp)
+    # ragged input is rejected, not silently reshaped
+    import pytest as _pytest
+
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+    with _pytest.raises(ValueError, match="ragged"):
+        list_column_to_matrix(ragged)
+
+
 def test_rolling_hasher_partition_invariant_values():
     """Gram hashes are pure values (fixed siphash key + fixed base):
     identical for the same window regardless of batching/partitioning."""
