@@ -739,10 +739,13 @@ def order_price_quantiles(sf_dir: str, *,
     decimal-typed q stays exact.
 
     Exact grouped quantiles need each group's values co-located in one
-    task — the documented trade-off is ENFORCED: a group larger than
-    ``max_group_rows`` raises with a pointer at the mergeable-histogram
-    sketch (``approx_price_quantiles`` / ``sketch_agg.approx_quantiles``)
-    instead of silently OOMing/straggling at corpus scale."""
+    task — the documented trade-off is ENFORCED, and enforced BEFORE
+    the co-locating exchange: group sizes come from a map-side-combined
+    counts pass (≤ |segments| rows per batch shuffle), so an oversized
+    group raises on the driver with a pointer at the mergeable sketch
+    (``approx_price_quantiles`` / ``sketch_agg.approx_quantiles``)
+    instead of OOMing the one task that would otherwise have to
+    materialize the whole group just to measure it."""
     ref = _broadcast_custseg(sf_dir)
     ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -753,15 +756,25 @@ def order_price_quantiles(sf_dir: str, *,
              "o_totalprice": df["o_totalprice"]}
         )
 
+    def count_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = project(df)
+        out["n"] = np.int64(1)
+        return out.groupby("c_mktsegment", as_index=False).agg(n=("n", "sum"))
+
+    sizes = _partial_groupby(ds, ["c_mktsegment"], count_partials,
+                             [("n", "i")]).to_pandas()
+    too_big = sizes[sizes["n"] > max_group_rows]
+    if len(too_big):
+        worst = too_big.sort_values("n").iloc[-1]
+        raise ValueError(
+            f"group {worst['c_mktsegment']!r} has {int(worst['n'])} rows > "
+            f"max_group_rows={max_group_rows}: exact grouped quantiles "
+            f"co-locate the whole group — use approx_price_quantiles "
+            f"(mergeable histogram sketch) at this scale, or raise "
+            f"max_group_rows explicitly"
+        )
+
     def quantiles(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) > max_group_rows:
-            raise ValueError(
-                f"group {g['c_mktsegment'].iloc[0]!r} has {len(g)} rows > "
-                f"max_group_rows={max_group_rows}: exact grouped quantiles "
-                f"co-locate the whole group — use approx_price_quantiles "
-                f"(mergeable histogram sketch) at this scale, or raise "
-                f"max_group_rows explicitly"
-            )
         v = np.sort(g["o_totalprice"].to_numpy())
         n = len(v)
 
@@ -1463,13 +1476,11 @@ def dataset_split(sf_dir: str) -> pd.DataFrame:
     or rerun, and a doc never migrates between splits as the corpus
     grows.  Vectorized map + map-side-combined count rollup."""
     ds = _t(sf_dir, "documents", ["doc_id", "lang"])
-    K, M = np.uint64(2654435761), np.uint64(1 << 32)
-    T_TRAIN, T_VAL = np.uint64(13 << 28), np.uint64(14 << 28)
 
     def partials(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = ((ids % M) * K) % M
-        split = np.where(h < T_TRAIN, "train", np.where(h < T_VAL, "val", "test"))
+        # _split_of is THE split definition (shared with the
+        # split_leakage audit, which must never drift from it)
+        split = _split_of(batch["doc_id"].to_numpy(zero_copy_only=False))
         df = pd.DataFrame({"lang": batch["lang"].to_pandas(), "split": split,
                            "n_docs": np.int64(1)})
         out = df.groupby(["lang", "split"], as_index=False).agg(
@@ -1510,11 +1521,9 @@ def split_leakage(sf_dir: str) -> pd.DataFrame:
     relative to the corpus; split assignment is a pure hash of doc_id,
     so the audit adds NO extra pass over the corpus text.  Pinned
     oracle (LSH has no ANSI-SQL semantics); determinism inherited from
-    `minhash_pairs`."""
-    from ..stages.dedup import minhash_lsh_pairs
-
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
-    pairs = _pairs_df(minhash_lsh_pairs(ds, threshold=0.5))
+    `minhash_pairs`, which is CALLED here (not re-parameterized) so a
+    detector tune can't silently diverge the audit from the pin."""
+    pairs = minhash_pairs_q(sf_dir)
     if pairs.empty:
         return pd.DataFrame({
             "id_a": pd.Series([], dtype=np.int64),

@@ -80,22 +80,40 @@ class _SortedRun:
     I/O per duplicate-bearing batch instead of resident dict bytes."""
 
     _K = 4  # bloom probes; with 16 bits/key → ~0.24% false positives
+    _RG = 65536  # row group size every run writer uses
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, fps: list[bytes] | None = None) -> None:
+        """``fps`` (sorted, matching the file just written): build the
+        bloom + ranges from memory instead of re-reading the parquet —
+        the flush path already holds every fingerprint, so reading the
+        file back would double the I/O on the actor's critical path.
+        Omit ``fps`` (restore/attach paths) to scan the file."""
         import pyarrow.parquet as pq
 
         self.path = path
+        if fps is not None:
+            self.n = len(fps)
+            self._init_bloom()
+            self._ranges = [
+                (fps[i], fps[min(i + self._RG, self.n) - 1])
+                for i in range(0, self.n, self._RG)
+            ]
+            self._bloom_add(fps)
+            return
         pf = pq.ParquetFile(path)
         self.n = pf.metadata.num_rows
-        self._ranges: list[tuple[bytes, bytes]] = []
-        m = 1 << max(10, (self.n * 16).bit_length())
-        self._m = m
-        self._bits = _np().zeros(m // 64, dtype="uint64")
+        self._init_bloom()
+        self._ranges = []
         for i in range(pf.metadata.num_row_groups):
             st = pf.metadata.row_group(i).column(0).statistics
             self._ranges.append((st.min, st.max))
             self._bloom_add(
                 pf.read_row_group(i, columns=["fp"])["fp"].to_pylist())
+
+    def _init_bloom(self) -> None:
+        m = 1 << max(10, (self.n * 16).bit_length())
+        self._m = m
+        self._bits = _np().zeros(m // 64, dtype="uint64")
 
     @staticmethod
     def _hash_pairs(fps: list[bytes]):
@@ -239,9 +257,19 @@ class _FingerprintShard:
         self.seen: dict[bytes, bytes] = {}  # hot set: fp -> batch key
         self.runs: list[_SortedRun] = []
         if store == "spill":
+            import glob
             import os
 
             os.makedirs(spill_dir, exist_ok=True)
+            # A non-empty spill_dir is a prior incarnation of THIS shard
+            # (actor restart over node-local scratch): attach its runs
+            # instead of silently starting empty — starting empty would
+            # re-admit already-indexed content and the next flush would
+            # clobber run files (the dict-store analog is the detached
+            # named actor surviving a driver restart).
+            for f in sorted(glob.glob(os.path.join(spill_dir,
+                                                   "run_*.parquet"))):
+                self.runs.append(_SortedRun(f))
 
     # -- spill mechanics -------------------------------------------------
     def _flush_hot(self) -> None:
@@ -258,9 +286,11 @@ class _FingerprintShard:
         })
         path = os.path.join(self.spill_dir, f"run_{len(self.runs):06d}.parquet")
         tmp = path + ".tmp"
-        pq.write_table(tbl, tmp, row_group_size=65536)
+        pq.write_table(tbl, tmp, row_group_size=_SortedRun._RG)
         os.replace(tmp, path)
-        self.runs.append(_SortedRun(path))
+        # bloom/ranges from the in-memory items — no read-back of the
+        # file we just wrote
+        self.runs.append(_SortedRun(path, fps=[k for k, _ in items]))
         self.seen = {}
 
     def _merged_pairs(self):

@@ -756,7 +756,30 @@ def test_incremental_spill_compaction(tmp_path):
         dd.shutdown()
 
 
-def test_incremental_spill_snapshot_interop(tmp_path):
+def test_incremental_spill_dir_reattach(tmp_path):
+    """A spill shard constructed over a NON-EMPTY spill_dir (actor
+    restart over node-local scratch) attaches the existing sorted runs
+    instead of silently starting empty — starting empty would re-admit
+    already-indexed content and the next flush would clobber the run
+    files (review finding, round 4)."""
+    import ray
+
+    from occular_ocr_ray.state.incremental import _FingerprintShard
+
+    sd = str(tmp_path / "shard0")
+    actor = ray.remote(num_cpus=0)(_FingerprintShard)
+    s1 = actor.remote(store="spill", spill_dir=sd, max_hot=2)
+    fps = [bytes([i]) * 16 for i in range(6)]
+    assert ray.get(s1.admit.remote(fps, b"k1")) == [True] * 6
+    assert ray.get(s1.size.remote()) == 6
+    ray.kill(s1)  # actor dies; runs remain on local scratch
+
+    s2 = actor.remote(store="spill", spill_dir=sd, max_hot=2)
+    assert ray.get(s2.size.remote()) >= 4  # spilled runs re-attached
+    # already-indexed content is still deduplicated after the restart
+    res = ray.get(s2.admit.remote([fps[0], bytes([99]) * 16], b"k2"))
+    assert res == [False, True]
+    ray.kill(s2)
     """Snapshots are store-independent: a dict-built index loads into
     the spill store (and back) with content and retry keys intact."""
     import ray
