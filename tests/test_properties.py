@@ -91,3 +91,39 @@ def test_chunk_token_windows_invariants(text, max_tokens, stride):
         rebuilt.extend(ctoks if ix == 0 else ctoks[max_tokens - stride:])
     assert rebuilt == toks  # stride overlap reconstructs exactly
     assert chunk_token_windows(text, max_tokens, stride) == chunks
+
+
+# --- spill fingerprint store ≡ dict store (model-based) -----------------
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.lists(st.integers(0, 25), min_size=1, max_size=8),  # fps
+            st.integers(0, 5),                                     # batch key
+        ),
+        min_size=1, max_size=12,
+    ),
+    max_hot=st.integers(1, 6),
+    compact_at=st.integers(-1, 10),
+)
+@settings(max_examples=60, deadline=None)
+def test_spill_store_equals_dict_model(tmp_path_factory, ops, max_hot,
+                                       compact_at):
+    """The off-heap spill store must answer every admit() exactly like
+    the in-memory dict store for ANY operation sequence — including
+    duplicate fps within a call, retries (repeated batch keys), flushes
+    forced by a tiny max_hot, and a mid-sequence compaction (which must
+    be a semantic no-op).  The shards are plain classes here (no Ray):
+    the actor wrapper adds transport, not semantics."""
+    from occular_ocr_ray.state.incremental import _FingerprintShard
+
+    sd = tmp_path_factory.mktemp("spill")
+    dict_shard = _FingerprintShard()
+    spill_shard = _FingerprintShard(store="spill", spill_dir=str(sd),
+                                    max_hot=max_hot)
+    for i, (fp_ids, bk) in enumerate(ops):
+        fps = [bytes([f]) * 16 for f in fp_ids]
+        key = bytes([bk]) * 16
+        assert spill_shard.admit(fps, key) == dict_shard.admit(fps, key)
+        if i == compact_at:
+            spill_shard.compact_runs()
+    assert spill_shard.size() == dict_shard.size()
