@@ -456,7 +456,8 @@ class IncrementalDeduper:
     def __init__(self, num_shards: int = 16, text_col: str = "text",
                  name: str | None = None, store: str = "dict",
                  spill_dir: str | None = None,
-                 max_hot: int = 1_000_000) -> None:
+                 max_hot: int = 1_000_000,
+                 self_healing: bool = False) -> None:
         import os
         import uuid
 
@@ -465,6 +466,13 @@ class IncrementalDeduper:
         self.name = name
         if store == "spill" and spill_dir is None:
             spill_dir = f"/tmp/occular_fpindex/{uuid.uuid4().hex[:12]}"
+        if self_healing and store != "spill":
+            # a restarted DICT shard comes back EMPTY while looking
+            # alive — silent re-admission of all history; only the
+            # spill store re-attaches its runs on restart
+            raise ValueError("self_healing requires store='spill' "
+                             "(a restarted dict shard silently loses "
+                             "its index)")
 
         def kw(i: int) -> dict:
             return dict(
@@ -473,7 +481,16 @@ class IncrementalDeduper:
                            if store == "spill" else None),
             )
 
-        actor = ray.remote(num_cpus=0)(_FingerprintShard)
+        # self_healing: Ray restarts a crashed shard with its original
+        # args (same spill_dir) and transparently retries in-flight
+        # admit() calls; the restarted shard re-attaches its spilled
+        # runs, so AT MOST the un-flushed hot set (≤ max_hot recent
+        # admissions) is forgotten — those re-admit once (duplicates
+        # slip through, never data loss).  Documented at-least-once
+        # admission under crash-restart, vs the default fail-loud.
+        opts = (dict(num_cpus=0, max_restarts=-1, max_task_retries=-1)
+                if self_healing else dict(num_cpus=0))
+        actor = ray.remote(**opts)(_FingerprintShard)
         if name is None:
             self.shards = [actor.remote(**kw(i)) for i in range(num_shards)]
             return

@@ -780,6 +780,41 @@ def test_incremental_spill_dir_reattach(tmp_path):
     res = ray.get(s2.admit.remote([fps[0], bytes([99]) * 16], b"k2"))
     assert res == [False, True]
     ray.kill(s2)
+
+
+def test_incremental_self_healing_spill_shards(tmp_path):
+    """self_healing=True: a crashed shard is auto-restarted by Ray with
+    its original spill_dir and re-attaches its runs — spilled history
+    still deduplicates after the crash (at most the un-flushed hot set
+    re-admits once).  Requires the spill store: dict shards raise."""
+    import ray
+
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    with pytest.raises(ValueError, match="self_healing"):
+        IncrementalDeduper(num_shards=2, self_healing=True)
+
+    dd = IncrementalDeduper(num_shards=2, store="spill",
+                            spill_dir=str(tmp_path / "idx"), max_hot=1,
+                            self_healing=True)
+    try:
+        rows = [(i, f"heal-{i}") for i in range(10)]
+        assert dd.dedup(_docs_ds(rows)).count() == 10
+        # crash every shard, allowing restart; subsequent calls hit the
+        # restarted actors, which re-attach their spilled runs
+        for s in dd.shards:
+            ray.kill(s, no_restart=False)
+        out = dd.dedup(_docs_ds([(20, "heal-3"), (21, "heal-8"),
+                                 (22, "fresh")])).to_pandas()
+        # max_hot=1 ⇒ nearly everything was flushed before the crash;
+        # at most one un-flushed hot entry per shard may re-admit
+        assert 22 in set(out["doc_id"])
+        assert len(out) <= 1 + 2  # fresh + ≤1 per-shard hot-set loss
+    finally:
+        dd.shutdown()
+
+
+def test_incremental_spill_snapshot_interop(tmp_path):
     """Snapshots are store-independent: a dict-built index loads into
     the spill store (and back) with content and retry keys intact."""
     import ray
