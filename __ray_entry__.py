@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": R.label_centroids,
         "knn_ivf": R.knn_ivf_q,
         "ivf_recall": R.ivf_recall,
+        "semdedup_keep": R.semdedup_keep,
         "embedding_neardup": R.embedding_neardup_q,
         # flagship extraction + text analysis (rows-only)
         "extract_pages": R.extract_pages_q,
@@ -1087,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
                 "minhash_dedup_keep": "doc_id",
                 "knn_ivf": "query_id, rank",
                 "ivf_recall": "query_id",
+                "semdedup_keep": "vec_id",
                 "split_leakage": "id_a, id_b",
                 "embedding_neardup": "id_a, id_b",
                 "media_decode": "media_id",

@@ -308,6 +308,29 @@ def knn_bruteforce_q(sf_dir: str) -> pd.DataFrame:
 
 # --- rows-only queries (no SQL oracle; deterministic) ------------------
 
+def semdedup_keep(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2303.09540) over the embeddings table:
+    surviving vec_ids after cluster-scoped semantic dedup with 16
+    seeded k-means clusters (`stages.similarity.semdedup_keep_ids`).
+    Complements the hyperplane-LSH near-dup detector
+    (`embedding_neardup`): LSH finds PAIRS corpus-wide; SemDeDup
+    removes ε-ball redundancy inside semantic clusters — the published
+    recipe for pruning semantically-redundant web data.
+
+    Threshold note: this synthetic embedding table has NO true
+    semantic duplicates (max pairwise cosine ≈ 0.51), so the query
+    runs at 0.45 — inside the data's range — to keep the pinned
+    output non-vacuous; real corpora use 0.9+ (the keeper semantics
+    at duplicate-grade thresholds are unit-tested on constructed
+    vectors in tests/test_stages.py).  Deterministic → pinned."""
+    from ..stages.similarity import semdedup_keep_ids
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semdedup_keep_ids(ds, threshold=0.45, n_clusters=16).to_pandas()
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def ivf_recall(sf_dir: str) -> pd.DataFrame:
     """ANN quality evaluation: per-query overlap@5 between the IVF
     partition-pruned search (`knn_ivf`, nprobe=4/16 clusters) and the

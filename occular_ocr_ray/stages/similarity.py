@@ -237,6 +237,63 @@ def query_ivf(index_dir: str, query_ids: list[int], k: int = 5, *,
     return cand.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
+def semdedup_keep_ids(ds, *, threshold: float = 0.95, n_clusters: int = 16,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      train_sample: int = 2048, concurrency=None,
+                      max_cluster_rows: int = 1_000_000):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup scoped
+    to k-means clusters — vectors are assigned to their nearest seeded
+    centroid map-side (broadcast centroids, the IVF assignment stage
+    reused verbatim), then WITHIN each cluster a greedy min-id-first
+    sweep drops every row cosine-similar (≥ ``threshold``) to ANY
+    lower-id row — the paper's keep-one-per-ε-neighborhood rule with a
+    deterministic keeper.  Returns the surviving (id) rows.
+
+    Scale shape: the only exchange co-locates CLUSTERS, not the corpus —
+    per-group size ≈ corpus/k, and k is the method's own granularity
+    knob (the paper's trade: bigger k ⇒ cheaper quadratic-in-cluster
+    verify, slightly lower recall across cluster boundaries).  The
+    within-cluster pairwise cosine is the method's documented cost;
+    ``max_cluster_rows`` enforces the knob instead of letting one fat
+    cluster OOM a task (raise k, or raise the gate explicitly).
+    Deterministic end-to-end: seeded k-means on a deterministic sample,
+    argmax assignment, min-id keeper."""
+    import pandas as pd
+
+    sample = ds.limit(train_sample).to_pandas()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    cent = _unit(_kmeans(_unit(mat), n_clusters))
+
+    assigned = ds.map_batches(
+        _ClusterAssigner,
+        fn_constructor_kwargs=dict(cent_ref=ray.put(cent), id_col=id_col,
+                                   vec_col=vec_col),
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency if concurrency is not None else default_pool(),
+        num_cpus=1,
+    )
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster_rows:
+            raise ValueError(
+                f"cluster {int(g['cluster'].iloc[0])} has {len(g)} rows > "
+                f"max_cluster_rows={max_cluster_rows}: raise n_clusters "
+                f"(SemDeDup's granularity knob) or the gate explicitly")
+        g = g.sort_values(id_col).drop_duplicates(id_col)
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({id_col: ids})
+        unit = _unit(np.array([np.asarray(v, dtype=np.float64)
+                               for v in g[vec_col]]))
+        sims = unit @ unit.T
+        # drop any row similar (≥ threshold) to an earlier-id row
+        drop = (np.triu(sims >= threshold, k=1)).any(axis=0)
+        return pd.DataFrame({id_col: ids[~drop]})
+
+    return (assigned.groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pandas"))
+
+
 def knn_ivf(ds, query_ids: list[int], k: int = 5, *, n_clusters: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
             train_sample: int = 2048, concurrency=None,

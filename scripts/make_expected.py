@@ -45,6 +45,9 @@ PINNED = [
     # near-dup train/test leakage audit: LSH pair set × hash-split —
     # deterministic (inherits minhash_pairs' determinism + pure hash).
     "split_leakage",
+    # SemDeDup: seeded k-means + greedy min-id ε-ball sweep —
+    # deterministic by construction.
+    "semdedup_keep",
     "embedding_neardup",
     "media_decode",
     "extract_pages",
@@ -87,6 +90,9 @@ def _sanity(name: str, df) -> None:
     if name == "split_leakage":
         assert len(df) > 0, "leakage audit is vacuous at sf0.01 — check"
         assert (df["split_a"] != df["split_b"]).all()
+    if name == "semdedup_keep":
+        assert 0 < len(df) < 500, "must keep some and drop some"
+        assert df["vec_id"].is_unique
 
 
 def main() -> None:

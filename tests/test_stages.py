@@ -782,6 +782,46 @@ def test_incremental_spill_dir_reattach(tmp_path):
     ray.kill(s2)
 
 
+def test_semdedup_keeps_one_per_ball_and_respects_clusters():
+    """SemDeDup on constructed vectors: within an ε-ball the min id
+    survives; chained similars collapse greedily; dissimilar vectors
+    all survive; invariant under repartitioning.  The cluster gate
+    raises instead of co-locating an oversized cluster."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.similarity import semdedup_keep_ids
+
+    rng = np.random.RandomState(6)
+    base_a = rng.standard_normal(32)
+    base_b = rng.standard_normal(32)
+    rows = []
+    # ball A: ids 10,11,12 nearly identical → keep 10
+    for i, eps in [(10, 0.0), (11, 0.01), (12, 0.02)]:
+        rows.append({"vec_id": i, "embedding": (base_a + eps).tolist()})
+    # ball B: ids 20,21 nearly identical → keep 20
+    for i, eps in [(20, 0.0), (21, 0.005)]:
+        rows.append({"vec_id": i, "embedding": (base_b + eps).tolist()})
+    # singletons: orthogonal-ish random vectors
+    for i in range(30, 40):
+        rows.append({"vec_id": i, "embedding": rng.standard_normal(32).tolist()})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    keep = sorted(semdedup_keep_ids(
+        ds, threshold=0.98, n_clusters=4, train_sample=100
+    ).to_pandas()["vec_id"])
+    assert 10 in keep and 11 not in keep and 12 not in keep
+    assert 20 in keep and 21 not in keep
+    assert set(range(30, 40)) <= set(keep)
+    keep2 = sorted(semdedup_keep_ids(
+        rd.from_pandas(pd.DataFrame(rows)).repartition(4),
+        threshold=0.98, n_clusters=4, train_sample=100
+    ).to_pandas()["vec_id"])
+    assert keep == keep2
+
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semdedup_keep_ids(ds, threshold=0.98, n_clusters=1,
+                          train_sample=100, max_cluster_rows=3).to_pandas()
+
+
 def test_incremental_self_healing_spill_shards(tmp_path):
     """self_healing=True: a crashed shard is auto-restarted by Ray with
     its original spill_dir and re-attaches its runs — spilled history
