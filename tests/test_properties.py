@@ -127,3 +127,51 @@ def test_spill_store_equals_dict_model(tmp_path_factory, ops, max_hot,
         if i == compact_at:
             spill_shard.compact_runs()
     assert spill_shard.size() == dict_shard.size()
+
+
+# --- rolling gram hash ≡ blake2b gram build (structure-level) -----------
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from([f"t{i}" for i in range(12)]),
+                 min_size=0, max_size=30),
+        min_size=1, max_size=8,
+    ),
+    w=st.integers(1, 6),
+)
+@settings(max_examples=80, deadline=None)
+def test_rolling_and_blake2b_gram_builds_agree(docs, w):
+    """For arbitrary token streams the rolling-polynomial and blake2b
+    gram builds induce the SAME duplicate structure: two windows share
+    a rolling hash iff they share a blake2b hash (i.e. iff the token
+    windows are equal — tiny alphabet makes collisions-by-equality
+    dense).  This is the dual-implementation contract of the hottest
+    dedup kernel, fuzzed beyond the fixed-corpus parity test."""
+    import numpy as np
+    import pandas as pd
+
+    from occular_ocr_ray.stages.span_dedup import (
+        _B,
+        _BINV,
+        _gram_hashes_blake2b,
+        _pow_table,
+        _rolling_gram_hashes,
+    )
+
+    occurrences = []  # (doc_idx, pos, rolling_h, blake_h, window_tuple)
+    maxn = max((len(t) for t in docs), default=1)
+    bp, bi = _pow_table(_B, max(maxn, 1)), _pow_table(_BINV, max(maxn, 1))
+    for d, toks in enumerate(docs):
+        if len(toks) < w:
+            continue
+        th = pd.util.hash_array(np.array(toks, dtype=object))
+        roll = _rolling_gram_hashes(th, w, bp, bi)
+        blake = _gram_hashes_blake2b(toks, w)
+        assert len(roll) == len(blake) == len(toks) - w + 1
+        for i in range(len(blake)):
+            occurrences.append((d, i, int(roll[i]), blake[i],
+                                tuple(toks[i:i + w])))
+    for a in occurrences:
+        for b in occurrences:
+            same_window = a[4] == b[4]
+            assert (a[2] == b[2]) == same_window  # rolling ≡ equality
+            assert (a[3] == b[3]) == same_window  # blake2b ≡ equality
