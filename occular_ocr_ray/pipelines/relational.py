@@ -2082,15 +2082,25 @@ def repeated_spans(sf_dir: str) -> pd.DataFrame:
 
     base_ds = ds.map_batches(base, batch_format="pyarrow")
 
-    def dup_counts(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                                 "n_dup": pd.Series([], dtype=np.int64)})
-        c = g.groupby("doc_id").size()
+    def dup_counts(cg: pd.DataFrame) -> pd.DataFrame:
+        # one coarse group (|h| % 199): find ≥2-occurrence gram runs
+        # with a single sort + shift compare, then count per doc with a
+        # C-level groupby — no per-gram Python (VERDICT r4 #1)
+        g = cg.sort_values("h", kind="mergesort")
+        h = g["h"].to_numpy()
+        new = np.empty(len(h), dtype=bool)
+        new[0] = True
+        new[1:] = h[1:] != h[:-1]
+        rid = np.cumsum(new) - 1
+        in_dup_run = np.bincount(rid)[rid] >= 2
+        c = g.loc[in_dup_run].groupby("doc_id").size()
         return pd.DataFrame({"doc_id": c.index.to_numpy(np.int64),
                              "n_dup": c.to_numpy(np.int64)})
 
-    dup = (span_occurrences(ds, w=W).groupby("h")
+    from ..stages.span_dedup import _keyed_coarse
+
+    dup = (_keyed_coarse(span_occurrences(ds, w=W), "h")
+           .groupby("coarse")
            .map_groups(dup_counts, batch_format="pandas")
            .groupby("doc_id").aggregate(Sum("n_dup", alias_name="n_dup")))
 

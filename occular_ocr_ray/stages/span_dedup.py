@@ -167,53 +167,134 @@ def span_occurrences(ds, *, w: int, text_col: str = "text",
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
-def removable_occurrences(occ):
+# Per-gram (and per-doc) groupby().map_groups() pays one pandas-callable
+# invocation per group — billions of tiny calls at 10^12 grams.  Instead
+# both exchanges key on a COARSE bucket (key mod a prime — same
+# co-location guarantee, ~2 orders of magnitude fewer groups, the
+# discipline dedup._COARSE established for LSH buckets) and resolve the
+# fine groups INSIDE each coarse group with sorted-run shift compares —
+# zero per-gram/per-doc Python (VERDICT r4 #1).
+_COARSE = 199
+
+
+def _keyed_coarse(ds, src_col: str):
+    def f(batch: pa.Table) -> pa.Table:
+        vals = batch[src_col].to_numpy(zero_copy_only=False)
+        coarse = (np.abs(vals) % _COARSE).astype(np.int32)
+        return batch.append_column("coarse", pa.array(coarse, pa.int32()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def removable_occurrences(occ, *, granularity: str = "coarse"):
     """Gram groups with ≥2 occurrences → all occurrences except the
-    global keeper (min (doc_id, pos)).  One hash-keyed groupby; group
-    sizes are the gram's occurrence count (tiny for natural text)."""
+    global keeper (min (doc_id, pos)).
 
-    def drop_keeper(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.iloc[0:0][["doc_id", "pos"]]
-        g = g.sort_values(["doc_id", "pos"], kind="mergesort")
-        return g.iloc[1:][["doc_id", "pos"]]
+    ``granularity="coarse"`` (default): ONE exchange keyed on
+    ``|h| % 199``; within each coarse group a single mergesort by
+    (h, doc_id, pos) + one shift compare marks every non-first row of
+    each h-run — exactly "all occurrences except the keeper", with no
+    per-gram callable.  ``granularity="fine"``: the round-4
+    one-pandas-group-per-gram build, retained for A/B parity."""
+    if granularity == "fine":
+        def drop_keeper(g: pd.DataFrame) -> pd.DataFrame:
+            if len(g) < 2:
+                return g.iloc[0:0][["doc_id", "pos"]]
+            g = g.sort_values(["doc_id", "pos"], kind="mergesort")
+            return g.iloc[1:][["doc_id", "pos"]]
 
-    return occ.groupby("h").map_groups(drop_keeper, batch_format="pandas")
+        return occ.groupby("h").map_groups(drop_keeper,
+                                           batch_format="pandas")
+    if granularity != "coarse":
+        raise ValueError(f"unknown granularity {granularity!r}")
+
+    def drop_keepers(cg: pd.DataFrame) -> pd.DataFrame:
+        g = cg.sort_values(["h", "doc_id", "pos"], kind="mergesort")
+        h = g["h"].to_numpy()
+        dup = np.zeros(len(h), dtype=bool)
+        # a non-first row of an h-run IS a non-keeper occurrence of a
+        # ≥2-occurrence gram; singleton grams have no non-first rows
+        dup[1:] = h[1:] == h[:-1]
+        return g.loc[dup, ["doc_id", "pos"]]
+
+    return (_keyed_coarse(occ, "h")
+            .groupby("coarse")
+            .map_groups(drop_keepers, batch_format="pandas"))
 
 
-def dup_span_intervals(rem, *, w: int):
+def dup_span_intervals(rem, *, w: int, granularity: str = "coarse"):
     """Removable occurrences → one row per affected doc with merged,
-    sorted removal intervals [start, end) in token space."""
+    sorted removal intervals [start, end) in token space.
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        starts = np.sort(g["pos"].to_numpy(dtype=np.int64))
-        ends = starts + w
-        m_starts, m_ends = [int(starts[0])], [int(ends[0])]
-        for s, e in zip(starts[1:], ends[1:]):
-            if s <= m_ends[-1]:
-                m_ends[-1] = max(m_ends[-1], int(e))
-            else:
-                m_starts.append(int(s))
-                m_ends.append(int(e))
+    ``granularity="coarse"`` keys the exchange on ``doc_id % 199`` and
+    merges every doc's intervals vectorized in one pass: with fixed
+    window width w, ends are monotone within a doc sorted by pos, so a
+    merged interval breaks exactly where ``pos[i] > pos[i-1] + w`` (or
+    at a doc boundary) — one shift compare, no per-doc callable."""
+    if granularity == "fine":
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            starts = np.sort(g["pos"].to_numpy(dtype=np.int64))
+            ends = starts + w
+            m_starts, m_ends = [int(starts[0])], [int(ends[0])]
+            for s, e in zip(starts[1:], ends[1:]):
+                if s <= m_ends[-1]:
+                    m_ends[-1] = max(m_ends[-1], int(e))
+                else:
+                    m_starts.append(int(s))
+                    m_ends.append(int(e))
+            return pd.DataFrame({
+                "doc_id": [int(g["doc_id"].iloc[0])],
+                "starts": [m_starts],
+                "ends": [m_ends],
+            })
+
+        return rem.groupby("doc_id").map_groups(merge,
+                                                batch_format="pandas")
+    if granularity != "coarse":
+        raise ValueError(f"unknown granularity {granularity!r}")
+
+    def merge_docs(cg: pd.DataFrame) -> pd.DataFrame:
+        g = cg.sort_values(["doc_id", "pos"], kind="mergesort")
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        s = g["pos"].to_numpy(dtype=np.int64)
+        e = s + w
+        newdoc = np.zeros(len(d), dtype=bool)
+        newdoc[0] = True
+        newdoc[1:] = d[1:] != d[:-1]
+        brk = newdoc.copy()
+        brk[1:] |= s[1:] > e[:-1]  # gap ⇒ new merged interval
+        iv_start = s[brk]
+        last = np.zeros(len(d), dtype=bool)
+        last[:-1] = brk[1:]
+        last[-1] = True
+        iv_end = e[last]  # e monotone within doc ⇒ last element is max
+        iv_doc = d[brk]
+        # split the interval arrays at doc boundaries → list columns
+        doc_first = np.flatnonzero(newdoc[brk])
         return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].iloc[0])],
-            "starts": [m_starts],
-            "ends": [m_ends],
+            "doc_id": iv_doc[doc_first],
+            "starts": [a.tolist() for a in
+                       np.split(iv_start, doc_first[1:])],
+            "ends": [a.tolist() for a in np.split(iv_end, doc_first[1:])],
         })
 
-    return rem.groupby("doc_id").map_groups(merge, batch_format="pandas")
+    return (_keyed_coarse(rem, "doc_id")
+            .groupby("coarse")
+            .map_groups(merge_docs, batch_format="pandas"))
 
 
 def dedup_spans(ds, *, w: int, text_col: str = "text",
                 id_col: str = "doc_id", num_buckets: int | None = None,
-                hasher: str = "rolling"):
+                hasher: str = "rolling", granularity: str = "coarse"):
     """Rewrite the corpus with duplicated w-token spans removed (one
     canonical copy survives per gram, modulo the overlap caveat above).
     Returns the input columns with ``text_col`` rewritten plus
     ``n_removed_tokens``."""
     occ = span_occurrences(ds, w=w, text_col=text_col, id_col=id_col,
                            hasher=hasher)
-    iv = dup_span_intervals(removable_occurrences(occ), w=w)
+    iv = dup_span_intervals(
+        removable_occurrences(occ, granularity=granularity),
+        w=w, granularity=granularity)
 
     # Arrow's hash join rejects list-typed payload columns — ship the
     # interval list as one "s:e;s:e" string through the exchange, under

@@ -118,7 +118,17 @@ class _SortedRun:
     @staticmethod
     def _hash_pairs(fps: list[bytes]):
         np = _np()
-        return np.frombuffer(b"".join(fps), dtype=np.uint64).reshape(-1, 2)
+        buf = b"".join(fps)
+        # The two bloom probe seeds are the digest's own 8-byte halves,
+        # so the layout hard-requires 16-byte fingerprints.  A digest
+        # width change must fail loudly here: silently fusing adjacent
+        # 8-byte digests would corrupt every bloom key → false
+        # NEGATIVES → duplicate admissions (ADVICE r4).
+        if len(buf) != 16 * len(fps):
+            raise ValueError(
+                f"fingerprints must be 16-byte digests (got total "
+                f"{len(buf)} bytes for {len(fps)} fps)")
+        return np.frombuffer(buf, dtype=np.uint64).reshape(-1, 2)
 
     def _bloom_add(self, fps: list[bytes]) -> None:
         np = _np()
@@ -261,6 +271,23 @@ class _FingerprintShard:
             import os
 
             os.makedirs(spill_dir, exist_ok=True)
+            # A leftover compact.parquet means a prior incarnation
+            # crashed mid-compaction AFTER the merged file was fully
+            # written (it lands via tmp+rename, so presence ⇒ complete)
+            # but BEFORE the old runs were swapped out.  The merged file
+            # is a superset of every run (hot set folded in), so finish
+            # the compaction here: drop the stale runs, promote the
+            # compact file.  Without this heal, the old glob-only attach
+            # would either see a partial run set or — if the crash
+            # landed between the deletes and the final rename — come
+            # back EMPTY and silently re-admit all history (ADVICE r4).
+            cpath = os.path.join(spill_dir, "compact.parquet")
+            if os.path.exists(cpath):
+                for f in glob.glob(os.path.join(spill_dir,
+                                                "run_*.parquet")):
+                    os.remove(f)
+                os.replace(cpath, os.path.join(spill_dir,
+                                               "run_000000.parquet"))
             # A non-empty spill_dir is a prior incarnation of THIS shard
             # (actor restart over node-local scratch): attach its runs
             # instead of silently starting empty — starting empty would
@@ -309,7 +336,14 @@ class _FingerprintShard:
         """Merge every spilled run (hot set folded in) into ONE sorted
         run via the streaming external merge — bounds the per-lookup
         bloom/probe fan-out after many flushes.  Returns total
-        fingerprints.  No-op for the dict store."""
+        fingerprints.  No-op for the dict store.
+
+        Crash-consistent with the attach heal in ``__init__``: the
+        merged file commits first (tmp+rename to compact.parquet), so a
+        crash anywhere in the delete/rename tail leaves either the old
+        runs intact (compact not yet committed) or a complete superset
+        file that the next incarnation promotes — never an empty or
+        partial index."""
         import glob
         import os
 
@@ -371,6 +405,11 @@ class _FingerprintShard:
 
         for f in glob.glob(os.path.join(self.spill_dir, "run_*.parquet")):
             os.remove(f)
+        # a stale mid-compaction file would be promoted over the
+        # restored state at the next restart-attach — clear it too
+        stale = os.path.join(self.spill_dir, "compact.parquet")
+        if os.path.exists(stale):
+            os.remove(stale)
         self.seen, self.runs = {}, []
         if pq.ParquetFile(path).metadata.num_rows == 0:
             return 0
@@ -429,6 +468,15 @@ class _FingerprintShard:
 
     def size(self) -> int:
         return len(self.seen) + sum(r.n for r in self.runs)
+
+    def get_config(self) -> dict:
+        """Constructor-args probe: named re-attach uses
+        ``get_if_exists=True``, which silently KEEPS a live shard's
+        original args — the driver must be able to detect that its
+        requested store/max_hot was dropped (ADVICE r4; same spirit as
+        the num_shards identity check)."""
+        return {"store": self.store, "max_hot": self.max_hot,
+                "spill_dir": self.spill_dir}
 
 
 class IncrementalDeduper:
@@ -518,6 +566,25 @@ class IncrementalDeduper:
             ).remote(**kw(i))
             for i in range(num_shards)
         ]
+        # get_if_exists KEEPS a live shard's original constructor args:
+        # requesting store='spill' against an existing dict-store index
+        # would silently stay dict-backed.  Probe the attached config
+        # and fail loudly on a store mismatch (the semantic one: memory
+        # model + restart behavior differ); warn on tuning drift.
+        live = ray.get(self.shards[0].get_config.remote())
+        if live["store"] != store:
+            raise ValueError(
+                f"named index {name!r} is live with store="
+                f"{live['store']!r}; requested store={store!r} was "
+                f"dropped by re-attach — shut the index down (or use "
+                f"save()/load()) to change its store")
+        if live["max_hot"] != max_hot:
+            import warnings
+
+            warnings.warn(
+                f"named index {name!r}: re-attach keeps the live "
+                f"max_hot={live['max_hot']} (requested {max_hot})",
+                stacklevel=2)
 
     def _filter_fn(self):
         import os

@@ -200,3 +200,43 @@ def test_dedup_spans_over_rows_with_a_spans_column():
     assert out.loc[2, "n_removed_tokens"] == 6
     # the corpus's own spans column passes through untouched
     assert out.loc[1, "spans"] == [{"start": 0, "end": 3}]
+
+
+def test_coarse_granularity_matches_fine():
+    """The coarse-bucketed vectorized keeper/interval exchanges (one
+    group per |h| % 199 / doc_id % 199, sorted-run shift compares) must
+    reproduce the round-4 one-pandas-group-per-gram build exactly —
+    removable occurrences, merged intervals, and the final rewrite
+    (VERDICT r4 #1)."""
+    rows = []
+    for i in range(1, 31):
+        filler = " ".join(f"f{i}v{j}" for j in range(i % 4 + 1))
+        if i % 4 == 0:  # same-doc repeat
+            rows.append({"doc_id": i,
+                         "text": f"{BLOCK} gap{i} {BLOCK} t{i} u{i}"})
+        else:
+            rows.append({"doc_id": i,
+                         "text": f"{filler} {BLOCK} tail{i} x{i} y{i}"})
+    ds = _docs(rows)
+    occ = span_occurrences(ds, w=4)
+
+    rem_c = removable_occurrences(occ, granularity="coarse").to_pandas()
+    rem_f = removable_occurrences(occ, granularity="fine").to_pandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "pos"]].values))
+    assert key(rem_c) == key(rem_f)
+    assert len(rem_c) > 20  # non-vacuous
+
+    iv_c = dup_span_intervals(
+        removable_occurrences(occ, granularity="coarse"),
+        w=4, granularity="coarse").to_pandas()
+    iv_f = dup_span_intervals(
+        removable_occurrences(occ, granularity="fine"),
+        w=4, granularity="fine").to_pandas()
+    norm = lambda df: sorted(
+        (int(r.doc_id), tuple(r.starts), tuple(r.ends))
+        for r in df.itertuples())
+    assert norm(iv_c) == norm(iv_f)
+
+    a = _result(dedup_spans(ds, w=4, granularity="coarse"))
+    b = _result(dedup_spans(ds, w=4, granularity="fine"))
+    assert a == b

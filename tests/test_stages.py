@@ -1525,3 +1525,109 @@ def test_decontaminate_drops_ngram_overlap():
     empty_eval = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
     out = decontaminate(corpus, empty_eval, text_col="text", n=4).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2, 3, 4, 5]
+
+
+def test_incremental_compaction_crash_heal(tmp_path):
+    """The compaction protocol is crash-consistent (ADVICE r4): the
+    merged compact.parquet commits before any run is deleted, and a
+    restart over a spill_dir caught in ANY intermediate window (compact
+    present + all/some/no runs deleted) heals to the full index instead
+    of coming back empty and re-admitting history."""
+    import glob
+    import os
+
+    from occular_ocr_ray.state.incremental import (
+        _FingerprintShard,
+        _write_sorted_stream,
+    )
+
+    fps = [bytes([i]) * 16 for i in range(8)]
+    for n_runs_left in (3, 1, 0):  # crash windows within the delete loop
+        sd = str(tmp_path / f"w{n_runs_left}")
+        s = _FingerprintShard(store="spill", spill_dir=sd, max_hot=2)
+        for i in range(0, 8, 3):  # multiple calls → multiple runs
+            assert s.admit(fps[i:i + 3], b"k") == [True] * len(fps[i:i + 3])
+        s._flush_hot()  # fold the hot tail into runs
+        runs = sorted(glob.glob(os.path.join(sd, "run_*.parquet")))
+        assert len(runs) >= 2
+        # simulate: compact fully written, crash mid-delete
+        _write_sorted_stream(s._merged_pairs(),
+                             os.path.join(sd, "compact.parquet"))
+        for f in runs[n_runs_left:]:
+            os.remove(f)
+        healed = _FingerprintShard(store="spill", spill_dir=sd, max_hot=2)
+        assert healed.size() == 8
+        assert healed.admit(fps, b"other") == [False] * 8
+        assert not os.path.exists(os.path.join(sd, "compact.parquet"))
+
+
+def test_sorted_run_fingerprint_width_guard(tmp_path):
+    """_SortedRun's bloom derives its two probe seeds from the digest's
+    8-byte halves — a non-16-byte fingerprint must fail loudly instead
+    of silently fusing adjacent digests into wrong bloom keys (bloom
+    false NEGATIVES → duplicate admissions; ADVICE r4)."""
+    from occular_ocr_ray.state.incremental import _SortedRun
+
+    with pytest.raises(ValueError, match="16-byte"):
+        _SortedRun._hash_pairs([b"x" * 8, b"y" * 8])
+    # 16-byte digests pass through
+    assert _SortedRun._hash_pairs([b"x" * 16]).shape == (1, 2)
+
+
+def test_named_reattach_config_mismatch(tmp_path):
+    """Named re-attach (get_if_exists) keeps the live shards' original
+    constructor args; requesting a DIFFERENT store must raise (the
+    request would be silently dropped otherwise) and tuning drift on
+    max_hot warns (ADVICE r4)."""
+    import warnings
+
+    from occular_ocr_ray.state.incremental import IncrementalDeduper
+
+    name = "cfgprobe-idx"
+    dd = IncrementalDeduper(num_shards=2, name=name)
+    try:
+        assert dd.dedup(_docs_ds([(1, "cfg-a")])).count() == 1
+        with pytest.raises(ValueError, match="store"):
+            IncrementalDeduper(num_shards=2, name=name, store="spill",
+                               spill_dir=str(tmp_path / "sp"))
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            dd2 = IncrementalDeduper(num_shards=2, name=name,
+                                     max_hot=123)
+            assert any("max_hot" in str(x.message) for x in w)
+        # the re-attached handle still sees the index
+        assert dd2.dedup(_docs_ds([(2, "cfg-a"), (3, "cfg-b")])
+                         ).to_pandas()["doc_id"].tolist() == [3]
+    finally:
+        dd.shutdown()
+
+
+def test_decontam_rolling_blake2b_parity():
+    """The rolling polynomial gram kernel must produce the SAME
+    filter decision as the independent per-window blake2b build on
+    every document (hash values differ; membership semantics cannot,
+    since both sides share the kernel) — the decontam analog of the
+    span-dedup A/B (VERDICT r4 #3)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.decontam import decontaminate
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [" ".join(rng.choice(vocab, size=rng.randint(1, 40)))
+            for _ in range(60)]
+    # plant exact 4-gram overlaps between some corpus docs and the eval set
+    eval_texts = [docs[3], "q1 q2 " + " ".join(docs[7].split()[:4]),
+                  "zz yy xx ww"]
+    corpus = rd.from_pandas(pd.DataFrame(
+        {"doc_id": range(len(docs)), "text": docs}))
+    eval_ds = rd.from_pandas(pd.DataFrame({"text": eval_texts}))
+
+    kept_roll = sorted(decontaminate(
+        corpus, eval_ds, n=4, hasher="rolling").to_pandas()["doc_id"])
+    kept_b2b = sorted(decontaminate(
+        rd.from_pandas(pd.DataFrame({"doc_id": range(len(docs)),
+                                     "text": docs})),
+        eval_ds, n=4, hasher="blake2b").to_pandas()["doc_id"])
+    assert kept_roll == kept_b2b
+    assert 3 not in kept_roll  # the planted contamination was caught
