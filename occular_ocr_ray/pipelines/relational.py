@@ -1563,42 +1563,90 @@ def split_leakage(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def packing_plan(sf_dir: str) -> pd.DataFrame:
+def packing_plan(sf_dir: str, *, chunk_docs: int = 1024) -> pd.DataFrame:
     """Sequence-packing plan (contiguous-fill): per language, docs in
     doc_id order are assigned to 2048-token bins by
     bin = (cumulative tokens before the doc) // 2048 — the deterministic
-    batch-packing layout a training loader consumes.  The shuffle moves
-    only (lang, doc_id, n_tokens) triples; the running sum needs the
-    group co-located and ordered, exactly like `cumulative_order_revenue`
-    (SURVEY custom-operator route (a))."""
+    batch-packing layout a training loader consumes.
+
+    Two-phase prefix sums (VERDICT r4 #4 — a plain ``groupby(lang)``
+    co-locates the biggest language, ~half the corpus, in ONE pandas
+    group): docs are chunked by ``doc_id // chunk_docs`` (bounded,
+    deterministic, partition-invariant), phase A reduces per-(lang,
+    chunk) token totals map-side into a tiny table whose per-lang
+    running sum gives each chunk's global start offset, and phase B
+    co-locates only (lang, chunk) groups — ≤ chunk_docs rows each —
+    where the local cumsum + broadcast offset yields the SAME bin ids
+    as a single per-lang sequence.  Bins straddling chunk boundaries
+    are healed by a final (lang, bin) partial-sum merge.  The offsets
+    table is corpus/chunk_docs rows — at 10^12 docs pick chunk_docs
+    ~1M so it stays a few MB broadcast; 1024 here so the small tiers
+    exercise multi-chunk offsets."""
     from ..functions.textstats import token_count
 
     BIN = 2048
     ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
 
     def toks(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(np.int64)
         return pd.DataFrame({
             "lang": df["lang"],
-            "doc_id": df["doc_id"].astype(np.int64),
+            "doc_id": did,
+            "chunk": (did // chunk_docs).astype(np.int64),
             "n_tokens": np.array([token_count(t) for t in df["text"]],
                                  dtype=np.int64),
         })
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        cum_before = g["n_tokens"].cumsum() - g["n_tokens"]
-        g = g.assign(bin=(cum_before // BIN).astype(np.int64))
-        out = g.groupby("bin", as_index=False).agg(
-            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"))
-        out.insert(0, "lang", g["lang"].iloc[0])
-        return out.astype({"n_docs": np.int64, "total_tokens": np.int64})
+    triples = ds.map_batches(toks, batch_format="pandas")
 
-    out = (
-        ds.map_batches(toks, batch_format="pandas")
-        .groupby("lang")
-        .map_groups(pack, batch_format="pandas")
-        .to_pandas()
-    )
+    # phase A: per-(lang, chunk) token totals — map-side partials, tiny
+    # driver merge (langs × chunks rows), per-lang cumsum → offsets
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "chunk"], as_index=False)["n_tokens"].sum()
+
+    tot = (triples.map_batches(partials, batch_format="pandas").to_pandas()
+           .groupby(["lang", "chunk"], as_index=False)["n_tokens"].sum()
+           .sort_values(["lang", "chunk"]))
+    tot["start"] = (tot.groupby("lang")["n_tokens"].cumsum()
+                    - tot["n_tokens"])
+    offsets = tot[["lang", "chunk", "start"]]
+
+    # phase B: coarse-keyed exchange (hash(lang, chunk) mod P keeps it
+    # one int column); fine (lang, chunk) groups resolve vectorized
+    # inside — groupby-cumsum, offset merge, bin assignment, partial
+    # agg.  P scales with the fine-group count so a coarse group stays
+    # ~O(chunk_docs) rows at ANY corpus size (a fixed modulus would
+    # re-grow unbounded groups at 10^12 docs).
+    P = np.uint64(max(199, 2 * len(offsets) + 1))
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        lh = pd.util.hash_array(df["lang"].to_numpy(dtype=object))
+        ck = df["chunk"].to_numpy(np.uint64)
+        df = df.copy()
+        df["gk"] = ((lh * np.uint64(1000003) + ck) % P).astype(np.int64)
+        return df
+
+    def pack(cg: pd.DataFrame) -> pd.DataFrame:
+        g = cg.sort_values(["lang", "chunk", "doc_id"], kind="mergesort")
+        local = (g.groupby(["lang", "chunk"], sort=False)["n_tokens"]
+                 .cumsum() - g["n_tokens"])
+        g = g.merge(offsets, on=["lang", "chunk"], how="left")
+        g["bin"] = ((local.to_numpy(np.int64)
+                     + g["start"].to_numpy(np.int64)) // BIN)
+        out = g.groupby(["lang", "bin"], as_index=False).agg(
+            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum"))
+        return out.astype({"bin": np.int64, "n_docs": np.int64,
+                           "total_tokens": np.int64})
+
+    part = (triples.map_batches(key, batch_format="pandas")
+            .groupby("gk")
+            .map_groups(pack, batch_format="pandas")
+            .to_pandas())
+    out = (part.groupby(["lang", "bin"], as_index=False)
+           .agg(n_docs=("n_docs", "sum"),
+                total_tokens=("total_tokens", "sum"))
+           .astype({"bin": np.int64, "n_docs": np.int64,
+                    "total_tokens": np.int64}))
     return out.sort_values(["lang", "bin"]).reset_index(drop=True)
 
 

@@ -167,3 +167,19 @@ def test_cli_warc_input_with_bucket_by_size(tmp_path):
     assert summary["totals"]["rows"] == 2
     assert list((out / "bucketed" / "small").glob("*.parquet"))
     assert list((out / "bucketed" / "giant").glob("*.parquet"))
+
+
+def test_console_entry_point_smoke(tmp_path):
+    """Packaging surface (pyproject.toml [project.scripts], mirroring
+    the reference's `ocr` console script, /root/reference/setup.py:22-24):
+    the installed `occular-ocr-ray` binary is `run:main`.  Skipped when
+    the package is not pip-installed into this environment."""
+    import shutil
+    import subprocess
+
+    exe = shutil.which("occular-ocr-ray")
+    if exe is None:
+        pytest.skip("occular-ocr-ray not installed (pip install -e .)")
+    out = subprocess.run([exe, "--help"], capture_output=True, text=True)
+    assert out.returncode == 0
+    assert "--input" in out.stdout and "--extractor" in out.stdout

@@ -1631,3 +1631,61 @@ def test_decontam_rolling_blake2b_parity():
         eval_ds, n=4, hasher="blake2b").to_pandas()["doc_id"])
     assert kept_roll == kept_b2b
     assert 3 not in kept_roll  # the planted contamination was caught
+
+
+def test_semdedup_fat_cluster_tiled_sweep():
+    """A fat cluster must not allocate a dense n×n sims matrix: 20k
+    near-identical vectors through ONE cluster (20k² float64 = 3.2 GB
+    dense — the tiled sweep peaks at tile²) collapse to the min id,
+    and tiling is output-invariant vs the dense path on mixed data
+    (VERDICT r4 #2)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.similarity import semdedup_keep_ids
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    n = 20_000
+    mat = base[None, :] + rng.standard_normal((n, 16)) * 1e-4
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [r.tolist() for r in mat]})
+    keep = semdedup_keep_ids(
+        rd.from_pandas(df), threshold=0.99, n_clusters=1,
+        train_sample=256, tile_rows=4096).to_pandas()["vec_id"]
+    assert keep.tolist() == [0]
+
+    # tiling invariance on data with real structure: tiny tiles ==
+    # one-big-tile (the dense-equivalent path)
+    rows = []
+    for i, eps in [(10, 0.0), (11, 0.01), (12, 0.02)]:
+        rows.append({"vec_id": i, "embedding": (base + eps).tolist()})
+    for i in range(30, 60):
+        rows.append({"vec_id": i,
+                     "embedding": rng.standard_normal(16).tolist()})
+    small = pd.DataFrame(rows)
+    a = sorted(semdedup_keep_ids(
+        rd.from_pandas(small), threshold=0.98, n_clusters=2,
+        train_sample=100, tile_rows=2).to_pandas()["vec_id"])
+    b = sorted(semdedup_keep_ids(
+        rd.from_pandas(small), threshold=0.98, n_clusters=2,
+        train_sample=100, tile_rows=1_000_000).to_pandas()["vec_id"])
+    assert a == b
+
+
+def test_spread_sample_covers_sorted_corpus():
+    """Centroid training uses a hash-of-id SPREAD sample, not the scan
+    head: on an id-sorted dataset the sample must cover the whole id
+    range, be deterministic, and be invariant to partition layout
+    (ADVICE r4)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.similarity import _spread_sample
+
+    df = pd.DataFrame({"vec_id": np.arange(10_000, dtype=np.int64),
+                       "x": np.arange(10_000)})
+    s1 = _spread_sample(rd.from_pandas(df), 200, "vec_id")
+    s2 = _spread_sample(rd.from_pandas(df).repartition(7), 200, "vec_id")
+    assert len(s1) == 200
+    assert s1["vec_id"].tolist() == s2["vec_id"].tolist()
+    # spread: ids from both the head and the tail of scan order
+    assert s1["vec_id"].min() < 2000 and s1["vec_id"].max() > 8000
