@@ -32,6 +32,7 @@ from .normalize import decode_html_bytes, join_blocks, normalize_ws
 from .xycut import xy_cut_order
 
 LAYOUT_MAGIC = b"LAYOUT1\n"
+LAYOUT_MAGIC_STR = "LAYOUT1\n"
 
 # Output schema field order (FIXTURES.md "Expected output schema").
 OUTPUT_COLUMNS = (
@@ -50,10 +51,18 @@ def _assemble(
     method: str,
     kept: list[tuple[str, str, float]],  # (text, tag_path, score) in reading order
     n_dropped: int,
+    compute_bytes: bool = True,
 ) -> dict[str, Any]:
     """Build the output row: the join + span offsets.  The ``zip`` of
     texts and scores the reference does at ``pipeline.py:66-73`` is free
-    here because both live in one tuple stream (SURVEY.md §2.2 M11)."""
+    here because both live in one tuple stream (SURVEY.md §2.2 M11).
+
+    ``compute_bytes=False`` defers ``bytes_emitted`` (-1 placeholder) to
+    the batch assembler, which reads UTF-8 lengths off the Arrow string
+    buffer it builds anyway — ``str.encode`` here would allocate a full
+    byte copy of every extracted document purely to measure it (the
+    extract kernel's 8→32 scaling wall is memory bandwidth, VERDICT r4
+    #5).  The default stays exact for the golden-oracle path."""
     spans = []
     offset = 0
     for text, tag_path, score in kept:
@@ -69,11 +78,13 @@ def _assemble(
         "method": method,
         "n_blocks_kept": len(kept),
         "n_blocks_dropped": n_dropped,
-        "bytes_emitted": len(extracted.encode("utf-8")),
+        "bytes_emitted": (len(extracted.encode("utf-8"))
+                          if compute_bytes else -1),
     }
 
 
-def _extract_native(url: str, text: str) -> dict[str, Any]:
+def _extract_native(url: str, text: str,
+                    compute_bytes: bool = True) -> dict[str, Any]:
     """Native-text fast path: per-line normalize, skip blanks (analog of
     the ``strip()`` skip at ``pipeline.py:204``), confidence fixed 1.0
     (as the reference fixes native-text confidence, ``pipeline.py:210``)."""
@@ -82,13 +93,17 @@ def _extract_native(url: str, text: str) -> dict[str, Any]:
         norm = normalize_ws(line)
         if norm:
             kept.append((norm, "native", 1.0))
-    return _assemble(url, "native", kept, 0)
+    return _assemble(url, "native", kept, 0, compute_bytes)
 
 
-def _extract_layout(url: str, payload: bytes) -> dict[str, Any]:
-    """Layout path: JSON blocks with bboxes → XY-cut reading order."""
+def _extract_layout(url: str, payload: str,
+                    compute_bytes: bool = True) -> dict[str, Any]:
+    """Layout path: JSON blocks with bboxes → XY-cut reading order.
+    ``payload`` is the DECODED payload including the magic prefix —
+    slicing the str at the (pure-ASCII) magic length is byte-identical
+    to the old slice-bytes-then-decode order."""
     try:
-        blocks = json.loads(payload[len(LAYOUT_MAGIC):].decode("utf-8", errors="replace"))
+        blocks = json.loads(payload[len(LAYOUT_MAGIC_STR):])
     except Exception:
         blocks = []
     if not isinstance(blocks, list):
@@ -113,22 +128,24 @@ def _extract_layout(url: str, payload: bytes) -> dict[str, Any]:
         x0, y0, x1, y1 = bboxes[i]
         tag_path = f"layout/{x0:g},{y0:g},{x1:g},{y1:g}"
         kept.append((norm, tag_path, 1.0))
-    return _assemble(url, "layout", kept, n_dropped)
+    return _assemble(url, "layout", kept, n_dropped, compute_bytes)
 
 
-def _extract_parsed(url: str, html: str, thresholds: dict | None = None) -> dict[str, Any]:
+def _extract_parsed(url: str, html: str, thresholds: dict | None = None,
+                    compute_bytes: bool = True) -> dict[str, Any]:
     scored = classify_blocks(segment_html(html), **(thresholds or {}))
     kept = [(s.text, s.tag_path, s.score) for s in scored if s.keep]
     n_dropped = sum(1 for s in scored if not s.keep)
-    return _assemble(url, "parsed", kept, n_dropped)
+    return _assemble(url, "parsed", kept, n_dropped, compute_bytes)
 
 
 def extract_row(
     url: str,
-    html: bytes | None,
+    html: bytes | str | None,
     text: str | None,
     thresholds: dict | None = None,
     force_parse: bool = False,
+    compute_bytes: bool = True,
 ) -> dict[str, Any]:
     """Extract one page.  Total and deterministic for any input row.
     ``thresholds`` (extension surface) tunes the parsed-branch
@@ -136,9 +153,19 @@ def extract_row(
     ``force_parse`` re-extracts from the raw payload even when a native
     ``text`` layer exists (analog of the reference's ``force_ocr``,
     ``pipeline.py:94`` — the recovery path for stale/bad text columns);
-    rows with no payload still fall back to the native branch."""
+    rows with no payload still fall back to the native branch.
+
+    ``html`` may be the raw payload bytes OR an already-decoded str
+    (UTF-8/replace — the actor stage decodes straight off the Arrow
+    buffer to skip an intermediate ``to_pylist`` byte copy of the whole
+    batch).  Branching is identical either way: the LAYOUT magic is
+    pure ASCII, so a decoded payload starts with the magic STRING iff
+    the raw bytes started with the magic BYTES."""
     if text and not (force_parse and html):
-        return _extract_native(url, text)
-    if html and html.startswith(LAYOUT_MAGIC):
-        return _extract_layout(url, html)
-    return _extract_parsed(url, decode_html_bytes(html) if html else "", thresholds)
+        return _extract_native(url, text, compute_bytes)
+    if not html:
+        return _extract_parsed(url, "", thresholds, compute_bytes)
+    s = html if isinstance(html, str) else decode_html_bytes(html)
+    if s.startswith(LAYOUT_MAGIC_STR):
+        return _extract_layout(url, s, compute_bytes)
+    return _extract_parsed(url, s, thresholds, compute_bytes)

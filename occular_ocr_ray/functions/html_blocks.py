@@ -67,6 +67,12 @@ class RawBlock:
 
     @property
     def raw_text(self) -> str:
+        # single-piece blocks (the overwhelming majority: ~1.1 data
+        # segments per block) return the parser's slice itself — the
+        # join would copy nearly the whole corpus text a second time
+        # (memory-bandwidth finding, VERDICT r4 #5)
+        if len(self.pieces) == 1:
+            return self.pieces[0]
         return "".join(self.pieces)
 
 
@@ -126,9 +132,11 @@ class _BlockParser(HTMLParser):
 
     # -- block lifecycle ------------------------------------------------
     def _flush(self) -> None:
+        # an empty cur is pristine (tag_path/link/raw counters only move
+        # once pieces exist) — reuse it instead of re-allocating
         if self.cur.pieces:
             self.blocks.append(self.cur)
-        self.cur = RawBlock()
+            self.cur = RawBlock()
 
     # -- HTMLParser hooks ----------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:

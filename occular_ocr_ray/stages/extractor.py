@@ -16,11 +16,63 @@ from __future__ import annotations
 import gc
 import zlib
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.extract import extract_row
 from ..schemas import EXTRACTED_SCHEMA
 from ..state.registry import register_extractor
+
+
+def _html_accessor(col: pa.ChunkedArray):
+    """Row-index → decoded payload str (or None), reading straight off
+    the Arrow binary buffers: ``str(memoryview, 'utf-8', 'replace')``
+    decodes from the (shared-memory) block without first materializing
+    a Python ``bytes`` copy of every payload — ``to_pylist()`` was one
+    full extra pass of the whole input through the allocator, on the
+    stage whose 8→32 scaling wall is memory bandwidth (VERDICT r4 #5).
+    Lazy: native-text rows never decode their payload at all.  Falls
+    back to per-row ``as_py()`` for exotic layouts (sliced validity,
+    unexpected types)."""
+    chunks = []
+    start = 0
+    for ch in col.chunks:
+        n = len(ch)
+        entry = None
+        if n and (pa.types.is_binary(ch.type)
+                  or pa.types.is_large_binary(ch.type)):
+            try:
+                bufs = ch.buffers()
+                odt = (np.int64 if pa.types.is_large_binary(ch.type)
+                       else np.int32)
+                offs = np.frombuffer(bufs[1], dtype=odt,
+                                     count=ch.offset + n + 1)[ch.offset:]
+                mv = memoryview(bufs[2]) if bufs[2] is not None else None
+                valid = (ch.is_valid().to_numpy(zero_copy_only=False)
+                         if ch.null_count else None)
+                entry = (offs, mv, valid)
+            except Exception:
+                entry = None
+        chunks.append((start, ch, entry))
+        start += n
+    bounds = [s for s, _, _ in chunks]
+
+    def get(i: int):
+        import bisect
+
+        k = bisect.bisect_right(bounds, i) - 1
+        s0, ch, entry = chunks[k]
+        j = i - s0
+        if entry is None:
+            v = ch[j].as_py()
+            return v.decode("utf-8", errors="replace") if v is not None else None
+        offs, mv, valid = entry
+        if valid is not None and not valid[j]:
+            return None
+        return str(mv[offs[j]:offs[j + 1]], "utf-8", "replace")
+
+    return get
 
 
 def _tune_gc_for_parse() -> None:
@@ -79,10 +131,18 @@ class DensityExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
-        htmls = batch["html"].to_pylist()
         texts = batch["text"].to_pylist()
+        get_html = _html_accessor(batch["html"])
         th, fp = self._thresholds, self._force_parse
-        out = [self._extract(u, h, t, th, fp) for u, h, t in zip(urls, htmls, texts)]
+        extract = self._extract
+        out = []
+        for i, (u, t) in enumerate(zip(urls, texts)):
+            if t and not fp:  # native fast path: payload never decoded
+                out.append(extract(u, None, t, th, False,
+                                   compute_bytes=False))
+            else:
+                out.append(extract(u, get_html(i), t, th, fp,
+                                   compute_bytes=False))
         table = rows_to_table(out)
         if self._num_parts:
             parts = [url_host_part(u, self._num_parts) for u in urls]
@@ -119,15 +179,26 @@ def rows_to_table(rows: list[dict]) -> pa.Table:
         fields=list(EXTRACTED_SCHEMA.field("spans").type.value_type),
     )
     spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_struct)
+    extracted = pa.array([r["extracted_text"] for r in rows], pa.string())
+    if rows and rows[0]["bytes_emitted"] == -1:
+        # deferred byte counts (extract_row compute_bytes=False): UTF-8
+        # lengths come straight off the string array's offsets — no
+        # per-document encode copy (VERDICT r4 #5).  binary_length on a
+        # zero-copy binary view counts BYTES (utf8_length counts chars).
+        bytes_emitted = pc.binary_length(
+            extracted.cast(pa.binary())).cast(pa.int64())
+    else:
+        bytes_emitted = pa.array([r["bytes_emitted"] for r in rows],
+                                 pa.int64())
     return pa.Table.from_arrays(
         [
             pa.array([r["url"] for r in rows], pa.string()),
-            pa.array([r["extracted_text"] for r in rows], pa.string()),
+            extracted,
             spans.cast(EXTRACTED_SCHEMA.field("spans").type),
             pa.array([r["method"] for r in rows], pa.string()),
             pa.array([r["n_blocks_kept"] for r in rows], pa.int64()),
             pa.array([r["n_blocks_dropped"] for r in rows], pa.int64()),
-            pa.array([r["bytes_emitted"] for r in rows], pa.int64()),
+            bytes_emitted,
         ],
         schema=EXTRACTED_SCHEMA,
     )

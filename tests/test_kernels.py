@@ -271,3 +271,34 @@ def test_registry_and_lenient_extractor():
     )
     # default path is unchanged by the parameterization (golden safety)
     assert default_out["extracted_text"][0].as_py() == LONG
+
+
+def test_normalize_ws_fast_path_equivalence():
+    """The no-copy fast path in normalize_ws is sound iff the frozen char
+    class covers EXACTLY the codepoints str.split() treats as whitespace —
+    asserted exhaustively (a CPython unicode-table change must fail here,
+    not silently break byte-identity), plus a hypothesis-style sweep of
+    tricky strings through both paths."""
+    import sys
+
+    from occular_ocr_ray.functions.normalize import _WS_OTHER, normalize_ws
+
+    missed = [c for c in map(chr, range(sys.maxunicode + 1))
+              if c.isspace() and c != " " and not _WS_OTHER.search(c)]
+    assert missed == []
+    extra = [c for c in map(chr, range(sys.maxunicode + 1))
+             if _WS_OTHER.search(c) and not c.isspace()]
+    assert extra == []
+
+    cases = [
+        "", " ", "a", "a b", "a  b", " a b", "a b ", "a\tb", "a\nb",
+        "a\xa0b", "a b", "plain single spaced text.",
+        "\x1c\x1d\x1e\x1f", "word", "a b c d e", "  ", "a \t b",
+        "tab\tend\t", "　wide　", "mixed  \n spaces",
+    ]
+    for s in cases:
+        assert normalize_ws(s) == " ".join(s.split()), repr(s)
+        # fast path taken ⇒ string must already be normalized
+        if ("  " not in s and _WS_OTHER.search(s) is None
+                and not s[:1] == " " and not s[-1:] == " "):
+            assert s == " ".join(s.split()), repr(s)
