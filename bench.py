@@ -14,6 +14,13 @@ Prints ONE JSON line:
 ``--scaling``: runs this script in two fresh processes at
 RAY_GRAFT_CPUS=8 and 32 on the same input (cluster-size-N vs 4N
 substitute per BASELINE.md) and prints throughputs + scaling efficiency.
+
+``--spin-control``: the zero-data register-only scaling control — the
+same two-parallelism pair with a fixed-iteration ALU kernel, in-task
+timing, and /proc/stat steal sampling; measures this box's per-core
+capacity ceiling independent of the engine's data paths (BASELINE.md,
+round 5).  ``--lo/--hi`` select the pair; GRAFT_SPIN_TASKS /
+GRAFT_SPIN_ITERS size the job.
 """
 
 from __future__ import annotations
@@ -226,6 +233,90 @@ def run_scaling() -> None:
     }))
 
 
+def _read_proc_stat() -> list[int]:
+    return list(map(int, open("/proc/stat").readline().split()[1:]))
+
+
+def run_spin_leg(ncpu: int, n_tasks: int, iters: int) -> None:
+    """One leg of --spin-control: fixed-iteration register-only work
+    through the full Ray Data machinery (range → map_batches task pool →
+    consume), the loop timed INSIDE each task and /proc/stat sampled
+    across the leg.  Zero memory traffic, zero data movement — isolates
+    host per-core capacity (hypervisor steal, DVFS) from everything the
+    engine or the memory system contributes."""
+    import ray
+
+    ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    def spin(batch):
+        t0 = time.perf_counter()
+        x = 1469598103934665603
+        for _ in range(iters):
+            x = (x * 1099511628211 + 12345) & 0xFFFFFFFFFFFFFFFF
+        batch["spin_sec"] = [time.perf_counter() - t0] * len(batch["id"])
+        return batch
+
+    ds = rd.range(n_tasks, override_num_blocks=n_tasks)
+    ds.limit(1).map_batches(lambda b: b, batch_size=1).count()  # warm
+    s0 = _read_proc_stat()
+    t0 = time.perf_counter()
+    spins = sorted(r["spin_sec"]
+                   for r in ds.map_batches(spin, batch_size=1).take_all())
+    wall = time.perf_counter() - t0
+    s1 = _read_proc_stat()
+    d = [y - x for x, y in zip(s0, s1)]
+    tot = sum(d) or 1
+    n = len(spins)
+    print(json.dumps({
+        "cpus": ncpu, "n_tasks": n_tasks, "iters": iters,
+        "wall_sec": round(wall, 2),
+        "tasks_per_sec": round(n_tasks / wall, 1),
+        "in_task_spin_sec_mean": round(sum(spins) / n, 3),
+        "in_task_spin_sec_p10": round(spins[n // 10], 3),
+        "in_task_spin_sec_p90": round(spins[(9 * n) // 10], 3),
+        "steal_pct": round(100 * d[7] / tot, 2),
+        "user_pct": round(100 * (d[0] + d[1]) / tot, 2),
+        "idle_pct": round(100 * d[3] / tot, 2),
+    }))
+    ray.shutdown()
+
+
+def run_spin_control() -> None:
+    """--spin-control: the zero-data scaling control (BASELINE.md,
+    round 5).  Runs the register-only spin job at --lo and --hi cpus in
+    fresh processes and prints raw efficiency, in-task ALU inflation,
+    and hypervisor steal per leg — the ceiling ANY workload (engine
+    included) can reach on this box."""
+    import subprocess
+
+    lo = int(sys.argv[sys.argv.index("--lo") + 1]) if "--lo" in sys.argv else 8
+    hi = int(sys.argv[sys.argv.index("--hi") + 1]) if "--hi" in sys.argv else 32
+    n_tasks = int(os.environ.get("GRAFT_SPIN_TASKS", "960"))
+    iters = int(os.environ.get("GRAFT_SPIN_ITERS", "5000000"))
+
+    def leg(ncpu: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--spin-leg",
+             str(ncpu), str(n_tasks), str(iters)],
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = leg(lo), leg(hi)
+    eff = (r_hi["tasks_per_sec"] / r_lo["tasks_per_sec"]) / (hi / lo)
+    print(json.dumps({
+        "control": "register-only zero-data spin via ray.data map_batches",
+        f"leg_{lo}": r_lo, f"leg_{hi}": r_hi,
+        "raw_efficiency": round(eff, 3),
+        "in_task_alu_inflation_hi_vs_lo": round(
+            r_hi["in_task_spin_sec_mean"] / r_lo["in_task_spin_sec_mean"], 3),
+    }))
+
+
 def run_stats() -> None:
     """Print the flagship pipeline's per-stage ds.stats() breakdown
     (wall/cpu/heap per operator) to stderr — the observability loop used
@@ -253,6 +344,12 @@ def run_stats() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--spin-leg" in sys.argv:
+        i = sys.argv.index("--spin-leg")
+        run_spin_leg(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                     int(sys.argv[i + 3]))
+    elif "--spin-control" in sys.argv:
+        run_spin_control()
     elif "--stats" in sys.argv:
         run_stats()
     else:
