@@ -105,6 +105,7 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/graft_bench_out/{TIER}_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    stat0 = _read_proc_stat()
     t0 = time.perf_counter()
     # One wave for the headline: the bench measures steady-state
     # streaming throughput; wave granularity is a resume knob (covered by
@@ -115,6 +116,7 @@ def run_bench() -> dict:
         PAGES_DIR, out_dir, num_waves=1, resume=False, batch_size=16, num_parts=64
     )
     headline = time.perf_counter() - t0
+    stat1 = _read_proc_stat()
     docs = summary["totals"]["rows"]
     mb = summary["totals"]["bytes_emitted"] / 1e6
 
@@ -163,6 +165,16 @@ def run_bench() -> dict:
         "extracted_mb_per_sec": round(mb / headline, 2),
         "output_digest": output_digest,
     }
+    # host-condition fields: whole-box /proc/stat deltas across the
+    # timed headline.  steal_pct >0 means the hypervisor withheld that
+    # fraction of the box from THIS run (the sandbox is a CPU-
+    # overcommitted VM — see BASELINE.md "Hypervisor steal"); wall-time
+    # comparisons across rounds are only meaningful at similar steal.
+    d = [y - x for x, y in zip(stat0, stat1)]
+    tot = sum(d) or 1
+    result["host_steal_pct"] = round(100 * d[7] / tot, 2)
+    result["host_user_pct"] = round(100 * (d[0] + d[1]) / tot, 2)
+    result["host_sys_pct"] = round(100 * d[2] / tot, 2)
     ray.shutdown()
     return result
 
