@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed ranking / grouped quantiles (round-3 additions)
         "ranked_orders": R.ranked_orders,
         "order_price_quantiles": R.order_price_quantiles,
+        "order_price_ntile": R.order_price_ntile,
         "segment_priority_list": R.segment_priority_list,
         "approx_price_quantiles": R.approx_price_quantiles,
         # documents / text scalar fns (SURVEY.md §2.7)
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage": R.split_leakage,
         "packing_plan": R.packing_plan,
         "unigram_logprob": R.unigram_logprob,
+        "perplexity_buckets": R.perplexity_buckets,
         "quality_gate_p75": R.quality_gate_p75,
         "repeated_spans": R.repeated_spans,
         "span_dedup_stats": R.span_dedup_stats,
@@ -414,6 +416,28 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
             FROM toks JOIN cnt USING (w) CROSS JOIN tot
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "perplexity_buckets": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents),
+            cnt AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+            lp AS (
+              SELECT doc_id,
+                     round(avg(ln(CAST(c AS DOUBLE) / t)), 6) AS avg_logprob
+              FROM toks JOIN cnt USING (w) CROSS JOIN tot
+              GROUP BY doc_id),
+            scored AS (
+              SELECT d.doc_id, d.lang, lp.avg_logprob
+              FROM documents d JOIN lp USING (doc_id))
+            SELECT doc_id, lang, avg_logprob,
+                   CAST(NTILE(3) OVER (
+                       PARTITION BY lang
+                       ORDER BY avg_logprob DESC, doc_id) AS BIGINT) AS bucket
+            FROM scored ORDER BY doc_id
         """,
         "supplier_pagerank": _pagerank_sql(3),
         "token_entropy": """
@@ -760,6 +784,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.90) AS p90
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "order_price_ntile": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(NTILE(4) OVER (
+                       ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+            FROM orders ORDER BY o_orderkey
         """,
         "tfidf_top_terms": """
             WITH docs AS (SELECT doc_id, trim(text) AS t FROM documents),

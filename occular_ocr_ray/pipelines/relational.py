@@ -1940,23 +1940,16 @@ def embedding_outliers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["label", "cos_sim", "vec_id"]).reset_index(drop=True)
 
 
-def unigram_logprob(sf_dir: str) -> pd.DataFrame:
-    """Corpus unigram-LM scoring (the CCNet/Wenzek perplexity-proxy
-    quality filter, arXiv:1911.00359 family): per-document mean token
-    log-probability under the corpus's own unigram MLE distribution.
-
-    Scale shape mirrors ``tfidf_top_terms``: pass 1 pre-aggregates
-    (token, count) per batch so the ONLY shuffle moves partial count
-    rows (≪ token stream); the vocabulary log-prob table is broadcast
-    once via ``ray.put``; pass 2 streams the corpus embarrassingly
-    parallel.  At 100 TB the full vocab outgrows a broadcast — cap to
-    the top-K tokens by count (``topk_by_frequency``) and give OOV a
-    smoothed floor probability; uncapped here so the SQL oracle is an
-    exact replica."""
+def _unigram_logp_ref(ds: rd.Dataset):
+    """Build the corpus unigram MLE log-prob table from a Dataset with a
+    ``text`` column and broadcast it once via ``ray.put``.  Pass 1
+    pre-aggregates (token, count) per batch so the ONLY shuffle moves
+    partial count rows (≪ token stream).  At 100 TB the full vocab
+    outgrows a broadcast — cap to the top-K tokens by count and give
+    OOV a smoothed floor probability; uncapped here so the SQL oracles
+    (``unigram_logprob``, ``perplexity_buckets``) are exact replicas."""
     import math
     from collections import Counter
-
-    ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def count_partials(df: pd.DataFrame) -> pd.DataFrame:
         counts: Counter = Counter()
@@ -1970,9 +1963,21 @@ def unigram_logprob(sf_dir: str) -> pd.DataFrame:
     cnt = (ds.map_batches(count_partials, batch_format="pandas")
            .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas())
     total = float(cnt["c"].sum())
-    logp_ref = ray.put(
+    return ray.put(
         {w: math.log(float(c) / total) for w, c in zip(cnt["w"], cnt["c"])}
     )
+
+
+def unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Corpus unigram-LM scoring (the CCNet/Wenzek perplexity-proxy
+    quality filter, arXiv:1911.00359 family): per-document mean token
+    log-probability under the corpus's own unigram MLE distribution.
+
+    Scale shape mirrors ``tfidf_top_terms``: the vocab build is the
+    partial-count shuffle in ``_unigram_logp_ref``; pass 2 streams the
+    corpus embarrassingly parallel with the log-prob table broadcast."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    logp_ref = _unigram_logp_ref(ds)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         logp = ray.get(logp_ref)
@@ -2712,3 +2717,209 @@ def lang_mixture_plan(sf_dir: str) -> pd.DataFrame:
                         "n_docs": counts["n_docs"].astype(np.int64),
                         "quota": quota})
     return out.sort_values("lang").reset_index(drop=True)
+
+
+def order_price_ntile(sf_dir: str, *, n_tiles: int = 4,
+                      n_bins: int = 4096,
+                      max_boundary_rows: int = 5_000_000) -> pd.DataFrame:
+    """Global NTILE(4) over a total order — every order assigned its
+    price quartile — WITHOUT a global sort or any all-to-all shuffle:
+    the classic histogram-refine boundary selection.
+
+    1. one streaming pass → per-batch (min, max, count) partials
+       (driver combines ≤|blocks| tiny rows);
+    2. one streaming pass → per-batch nonzero (bin, count) histogram
+       partials over a fixed price binning, merged by a ≤``n_bins``-row
+       groupby — the only exchange, and it moves bin counts, not rows;
+    3. the k−1 NTILE boundary ranks locate their bins in the cumulative
+       histogram on the driver; ONLY rows falling in those boundary bins
+       are collected (size known in advance from the histogram and
+       ENFORCED against ``max_boundary_rows`` BEFORE the collect — a
+       skew-heavy bin raises with a refine hint instead of OOMing);
+    4. the exact boundary keys (price, orderkey at each boundary rank)
+       are broadcast and the final streaming pass assigns tiles by
+       vectorized lexicographic compare.
+
+    Tie-safety: the composite key (o_totalprice, o_orderkey) is unique,
+    so the assignment is deterministic and matches SQL
+    ``NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)`` exactly.
+    At 10¹²-row scale every pass streams; driver state is O(n_bins +
+    boundary-bin rows)."""
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def mm_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"mn": [float(df["o_totalprice"].min())],
+                             "mx": [float(df["o_totalprice"].max())],
+                             "n": np.array([len(df)], dtype=np.int64)})
+
+    stats = ds.map_batches(mm_partials, batch_format="pandas").to_pandas()
+    lo, hi = float(stats["mn"].min()), float(stats["mx"].max())
+    n = int(stats["n"].sum())
+    width = hi - lo
+
+    def bin_of(p: np.ndarray) -> np.ndarray:
+        # identical float expression in every pass → identical binning
+        if width <= 0.0:
+            return np.zeros(len(p), dtype=np.int64)
+        return np.clip(((p - lo) / width * n_bins).astype(np.int64),
+                       0, n_bins - 1)
+
+    def hist_partials(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(bin_of(df["o_totalprice"].to_numpy(np.float64)),
+                        minlength=n_bins)
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"bin": nz.astype(np.int64),
+                             "c": c[nz].astype(np.int64)})
+
+    hist = _partial_groupby(ds, ["bin"], hist_partials,
+                            [("c", "i")]).to_pandas()
+    counts = np.zeros(n_bins, dtype=np.int64)
+    counts[hist["bin"].to_numpy()] = hist["c"].to_numpy()
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))  # rows before bin
+
+    # NTILE boundary ranks: tile i (1-based) holds n//k (+1 for the
+    # first n%k tiles) rows; boundary rank c_i = last rank of tile i.
+    sizes = np.full(n_tiles, n // n_tiles, dtype=np.int64)
+    sizes[: n % n_tiles] += 1
+    bounds = np.cumsum(sizes)[:-1]  # k-1 ranks, 1-indexed
+    bbins = sorted({int(np.searchsorted(np.cumsum(counts), b)) for b in bounds})
+    bb_rows = int(counts[bbins].sum())
+    if bb_rows > max_boundary_rows:
+        raise ValueError(
+            f"boundary bins hold {bb_rows} rows > max_boundary_rows="
+            f"{max_boundary_rows}: raise n_bins (finer histogram) or "
+            f"max_boundary_rows explicitly — the collect is gated before "
+            f"any row moves"
+        )
+    bset = set(bbins)
+
+    def in_boundary_bins(df: pd.DataFrame) -> pd.DataFrame:
+        b = bin_of(df["o_totalprice"].to_numpy(np.float64))
+        keep = df[np.isin(b, bbins)]
+        return keep[["o_orderkey", "o_totalprice"]]
+
+    cand = ds.map_batches(in_boundary_bins, batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["o_totalprice", "o_orderkey"],
+                            kind="mergesort").reset_index(drop=True)
+    cand_bins = bin_of(cand["o_totalprice"].to_numpy(np.float64))
+
+    boundary_keys = []  # (price, orderkey) at each boundary rank
+    for c_i in bounds:
+        b = int(np.searchsorted(np.cumsum(counts), c_i))
+        assert b in bset
+        within = cand[cand_bins == b].reset_index(drop=True)
+        row = within.iloc[int(c_i - below[b]) - 1]
+        boundary_keys.append((float(row["o_totalprice"]),
+                              int(row["o_orderkey"])))
+    bkeys_ref = ray.put(boundary_keys)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        bkeys = ray.get(bkeys_ref)
+        p = df["o_totalprice"].to_numpy(np.float64)
+        k = df["o_orderkey"].to_numpy(np.int64)
+        tile = np.ones(len(df), dtype=np.int64)
+        for bp, bk in bkeys:
+            tile += (p > bp) | ((p == bp) & (k > bk))
+        return pd.DataFrame({"o_orderkey": k, "o_totalprice": p,
+                             "tile": tile})
+
+    out = ds.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet-style head/middle/tail thirds per language (Wenzek et al.,
+    arXiv:1911.00359 §4.3): score every document with the corpus
+    unigram-LM mean log-prob (the perplexity proxy), then split each
+    language into three equal buckets by score — bucket 1 = head
+    (highest log-prob / lowest perplexity), 3 = tail.
+
+    Scale shape: scoring reuses ``_unigram_logp_ref`` (partial-count
+    shuffle + broadcast table, one streaming pass over text); the
+    per-lang bucket boundary needs only (lang, avg_logprob, doc_id)
+    triples co-located — gated by the same exact-quantile convention as
+    ``order_price_quantiles`` (at 10¹²-doc scale, switch to the
+    per-lang histogram-refine boundary selection of
+    ``order_price_ntile``); the ≤2·|langs| boundary keys are broadcast
+    for the final embarrassingly-parallel assignment pass.  Ordering is
+    (avg_logprob DESC, doc_id ASC) on the ROUNDED score — unique, so
+    the assignment is deterministic and matches SQL NTILE(3) exactly."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+    logp_ref = _unigram_logp_ref(ds)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        logp = ray.get(logp_ref)
+        ids, langs, avgs = [], [], []
+        for did, lang, t in zip(df["doc_id"], df["lang"], df["text"]):
+            words = (t or "").split()
+            if not words:
+                continue
+            ids.append(did)
+            langs.append(lang)
+            avgs.append(float(np.mean([logp[w] for w in words])))
+        return pd.DataFrame(
+            {"doc_id": np.array(ids, dtype=np.int64),
+             "lang": langs,
+             "avg_logprob": _round_away(np.array(avgs), 6)}
+        )
+
+    # materialize the (doc_id, lang, score) projection ONCE — three
+    # consumers below; ~24 B/doc in the object store (spillable) beats
+    # re-streaming the full text column three times
+    scored = ds.map_batches(score, batch_format="pandas").materialize()
+
+    def sizes_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("lang", as_index=False).size()
+        return pd.DataFrame({"lang": g["lang"],
+                             "n": g["size"].astype(np.int64)})
+
+    sizes = _partial_groupby(scored, ["lang"], sizes_partials,
+                             [("n", "i")]).to_pandas()
+    too_big = sizes[sizes["n"] > _EXACT_QUANTILE_GROUP_LIMIT]
+    if len(too_big):
+        worst = too_big.sort_values("n").iloc[-1]
+        raise ValueError(
+            f"lang {worst['lang']!r} has {int(worst['n'])} scored docs > "
+            f"{_EXACT_QUANTILE_GROUP_LIMIT}: exact per-lang thirds "
+            f"co-locate the group — use histogram-refine boundary "
+            f"selection (cf. order_price_ntile) at this scale"
+        )
+
+    def boundaries(g: pd.DataFrame) -> pd.DataFrame:
+        lp = g["avg_logprob"].to_numpy(np.float64)
+        did = g["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((did, -lp))  # avg_logprob DESC, doc_id ASC
+        m = len(g)
+        sz = np.full(3, m // 3, dtype=np.int64)
+        sz[: m % 3] += 1
+        cut = np.cumsum(sz)[:-1]
+        idx = order[np.minimum(cut - 1, m - 1)]
+        return pd.DataFrame({
+            "lang": [g["lang"].iloc[0]],
+            "lp1": [lp[idx[0]]], "id1": [int(did[idx[0]])],
+            "lp2": [lp[idx[1]]], "id2": [int(did[idx[1]])],
+        })
+
+    bnd = (scored.groupby("lang")
+           .map_groups(boundaries, batch_format="pandas").to_pandas())
+    bnd_ref = ray.put({
+        r["lang"]: ((r["lp1"], r["id1"]), (r["lp2"], r["id2"]))
+        for _, r in bnd.iterrows()
+    })
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(bnd_ref)
+        lp = df["avg_logprob"].to_numpy(np.float64)
+        did = df["doc_id"].to_numpy(np.int64)
+        bucket = np.ones(len(df), dtype=np.int64)
+        for lang, ((lp1, id1), (lp2, id2)) in table.items():
+            mask = (df["lang"] == lang).to_numpy()
+            # "after boundary i" in (lp DESC, doc_id ASC) order
+            bucket += mask & ((lp < lp1) | ((lp == lp1) & (did > id1)))
+            bucket += mask & ((lp < lp2) | ((lp == lp2) & (did > id2)))
+        out = df.copy()
+        out["bucket"] = bucket
+        return out
+
+    out = scored.map_batches(assign, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
