@@ -13,7 +13,12 @@ Prints ONE JSON line:
 
 ``--scaling``: runs this script in two fresh processes at
 RAY_GRAFT_CPUS=8 and 32 on the same input (cluster-size-N vs 4N
-substitute per BASELINE.md) and prints throughputs + scaling efficiency.
+substitute per BASELINE.md) and prints throughputs + scaling efficiency,
+plus per-leg hypervisor-steal.  ``--with-control`` additionally runs the
+interleaved zero-data spin pair and reports
+``efficiency_vs_host_ceiling`` — the engine's raw efficiency divided by
+the control's (the best ANY workload could do on this box right now), a
+steal-robust scaling figure.
 
 ``--spin-control``: the zero-data register-only scaling control — the
 same two-parallelism pair with a fixed-iteration ALU kernel, in-task
@@ -231,7 +236,7 @@ def run_scaling() -> None:
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     f_lo, f_hi = _freq_probe(lo), _freq_probe(hi)
     freq_ratio = f_hi / f_lo  # >1: cores are slower when all are busy
-    print(json.dumps({
+    out = {
         "sf": TIER,
         "n_docs": r_lo["n_docs"],
         f"sec_{lo}": r_lo["value"],
@@ -242,7 +247,29 @@ def run_scaling() -> None:
         "cpu_freq_slowdown_at_hi": round(freq_ratio, 3),
         "scaling_efficiency_freq_adj": round(eff * freq_ratio, 3),
         "output_identical_across_parallelism": r_lo["output_digest"] == r_hi["output_digest"],
-    }))
+        # host condition during each chosen leg (the sandbox is a CPU-
+        # overcommitted VM; raw efficiency is only meaningful at ~0 steal)
+        f"host_steal_pct_{lo}": r_lo.get("host_steal_pct"),
+        f"host_steal_pct_{hi}": r_hi.get("host_steal_pct"),
+    }
+    if "--with-control" in sys.argv:
+        # interleaved zero-data spin control at the same lo/hi pair: its
+        # raw efficiency is the ceiling ANY workload can reach on this
+        # box right now; efficiency_vs_host_ceiling = what fraction of
+        # that attainable ceiling the ENGINE achieves — steal-robust
+        # because engine and control see the same host.
+        import subprocess
+
+        ctl = json.loads(subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--spin-control",
+             "--lo", str(lo), "--hi", str(hi)],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip().splitlines()[-1])
+        out["control_raw_efficiency"] = ctl["raw_efficiency"]
+        out["control_steal_pct_hi"] = ctl[f"leg_{hi}"]["steal_pct"]
+        out["efficiency_vs_host_ceiling"] = round(
+            eff / ctl["raw_efficiency"], 3) if ctl["raw_efficiency"] else None
+    print(json.dumps(out))
 
 
 def _read_proc_stat() -> list[int]:

@@ -1689,3 +1689,92 @@ def test_spread_sample_covers_sorted_corpus():
     assert s1["vec_id"].tolist() == s2["vec_id"].tolist()
     # spread: ids from both the head and the tail of scan order
     assert s1["vec_id"].min() < 2000 and s1["vec_id"].max() > 8000
+
+
+# --- global-NTILE / perplexity-bucket boundary machinery (round 5) ----
+def _write_orders(tmp_path, prices):
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "o_orderkey": pa.array(range(1, len(prices) + 1), pa.int64()),
+        "o_custkey": pa.array([1] * len(prices), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(prices)),
+        "o_totalprice": pa.array(prices, pa.float64()),
+        "o_orderdate": pa.array([0] * len(prices), pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(prices)),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    return str(tmp_path)
+
+
+def test_order_price_ntile_equal_prices_degenerate_bin(tmp_path):
+    """All-equal prices collapse every row into bin 0 (histogram width
+    0): ties are broken by o_orderkey exactly as SQL NTILE does."""
+    import duckdb
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    sf = _write_orders(tmp_path, [42.0] * 10)
+    out = R.order_price_ntile(sf)
+    exp = duckdb.sql(
+        "SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, "
+        f"o_orderkey) AS BIGINT) AS tile FROM '{sf}/orders.parquet' "
+        "ORDER BY o_orderkey").fetchdf()
+    assert out["tile"].tolist() == exp["tile"].tolist()
+    # NTILE(4) of 10 rows: sizes 3,3,2,2
+    assert out["tile"].value_counts().sort_index().tolist() == [3, 3, 2, 2]
+
+
+def test_order_price_ntile_gate_before_collect(tmp_path):
+    """The boundary-bin collect is gated BEFORE any row moves: a
+    skew-degenerate histogram raises instead of materializing."""
+    import pytest as _pytest
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    sf = _write_orders(tmp_path, [42.0] * 10)  # one bin holds all rows
+    with _pytest.raises(ValueError, match="boundary bins"):
+        R.order_price_ntile(sf, max_boundary_rows=5)
+
+
+def test_order_price_ntile_partition_invariance(tmp_path):
+    """Tile assignment is a pure function of the (price, key) order —
+    shard layout must not change it."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    rng = np.random.default_rng(7)
+    prices = np.round(rng.uniform(10, 1000, size=200), 2)
+    sf = _write_orders(tmp_path, list(prices))
+    one = R.order_price_ntile(sf)
+    # rewrite as many tiny shards
+    t = pq.read_table(str(tmp_path / "orders.parquet"))
+    (tmp_path / "orders.parquet").unlink()
+    (tmp_path / "orders.parquet").mkdir()
+    for i in range(8):
+        pq.write_table(t.slice(i * 25, 25),
+                       str(tmp_path / "orders.parquet" / f"p{i}.parquet"))
+    many = R.order_price_ntile(sf)
+    pd.testing.assert_frame_equal(one, many)
+
+
+def test_perplexity_buckets_group_gate(tmp_path, monkeypatch):
+    """Exact per-lang thirds co-locate the (lang, score, id) triples —
+    the size gate must trip BEFORE the exchange on an oversized lang."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    t = pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array([f"tok{i % 7} common words" for i in range(50)]),
+        "lang": pa.array(["en"] * 50),
+        "source": pa.array(["s"] * 50),
+        "n_chars": pa.array([10] * 50, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(R, "_EXACT_QUANTILE_GROUP_LIMIT", 10)
+    with _pytest.raises(ValueError, match="histogram-refine"):
+        R.perplexity_buckets(str(tmp_path))
