@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": R.epoch_shuffle,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
+        "hourly_anomalies": R.hourly_anomalies,
         "funnel_stages": R.funnel_stages,
         # embeddings / similarity
         "knn_bruteforce": R.knn_bruteforce_q,
@@ -1027,6 +1028,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "hourly_anomalies": """
+            WITH h AS (
+              SELECT event_type,
+                     strftime(date_trunc('hour', ts),
+                              '%Y-%m-%d %H:%M:%S') AS hour,
+                     CAST(count(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, hour, n_events,
+                   round((n_events - avg(n_events)
+                            OVER (PARTITION BY event_type))
+                         / stddev_samp(n_events)
+                            OVER (PARTITION BY event_type), 6) AS z
+            FROM h QUALIFY abs(z) > 2 ORDER BY event_type, hour
         """,
         "asof_prior_view": """
             SELECT e.event_id, v.ts AS prior_view_ts

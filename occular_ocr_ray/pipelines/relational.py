@@ -2719,6 +2719,47 @@ def lang_mixture_plan(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def hourly_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Streaming anomaly detection over a tumbling-window aggregate:
+    per event_type, z-score each hour's event count against that type's
+    across-hours mean/stddev and keep hours with |z| > 2 — the
+    monitoring query a pipeline runs on its own ingest rates.
+
+    Scale shape: the only exchange is the map-side-combined hourly
+    count (partial rows, as ``events_hourly``); the result is bounded
+    by |event_types| × |hours| (≪ events — ~1 M rows per decade even at
+    10¹² events), so the per-type moments + flagging legitimately run
+    on the aggregate, with EXACT integer sums (Σn, Σn²) making the
+    variance reproducible regardless of summation order."""
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(
+            hour=df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S"),
+            n_events=np.int64(1),
+        )
+        return df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+
+    hourly = _partial_groupby(ds, ["event_type", "hour"], partials,
+                              [("n_events", "i")]).to_pandas()
+    n = hourly["n_events"].astype(np.int64)
+    g = hourly.assign(n=n, n2=n * n).groupby("event_type")
+    mom = g.agg(s1=("n", "sum"), s2=("n2", "sum"), m=("n", "size"))
+    mom = mom[mom["m"] > 1]
+    mean = mom["s1"] / mom["m"]
+    var = (mom["s2"] - mom["s1"] * mom["s1"] / mom["m"]) / (mom["m"] - 1)
+    std = np.sqrt(var)
+    z = _round_away(
+        (n - hourly["event_type"].map(mean)) / hourly["event_type"].map(std), 6)
+    out = hourly.assign(z=z)
+    out = out[out["z"].abs() > 2].copy()
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return (out[["event_type", "hour", "n_events", "z"]]
+            .sort_values(["event_type", "hour"]).reset_index(drop=True))
+
+
 def order_price_ntile(sf_dir: str, *, n_tiles: int = 4,
                       n_bins: int = 4096,
                       max_boundary_rows: int = 5_000_000) -> pd.DataFrame:
