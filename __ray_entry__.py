@@ -148,6 +148,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_heads": R.inverted_index_heads,
         "weighted_sample": R.weighted_sample,
         "epoch_shuffle": R.epoch_shuffle,
+        # multi-join / grouping-set analytics (TPC-H Q7/Q10/Q17, CUBE)
+        "returned_item_report": R.returned_item_report,
+        "small_qty_order_revenue": R.small_qty_order_revenue,
+        "segment_priority_cube": R.segment_priority_cube,
+        "nation_trade_volume": R.nation_trade_volume,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1042,6 +1047,53 @@ def oracle_sql() -> dict[str, str]:
                          / stddev_samp(n_events)
                             OVER (PARTITION BY event_type), 6) AS z
             FROM h QUALIFY abs(z) > 2 ORDER BY event_type, hour
+        """,
+        "returned_item_report": """
+            SELECT c_custkey, c_name, n_name AS nation, revenue FROM (
+              SELECT o_custkey AS ck,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              WHERE l_returnflag = 'R'
+              GROUP BY o_custkey
+              ORDER BY revenue DESC, ck LIMIT 20
+            ) t
+            JOIN customer ON c_custkey = t.ck
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, c_custkey
+        """,
+        "small_qty_order_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#12'
+              AND l_quantity < (
+                SELECT 0.2 * (sum(l2.l_quantity) / count(*))
+                FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        """,
+        "segment_priority_cube": """
+            SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY CUBE (c_mktsegment, o_orderpriority)
+            ORDER BY segment, priority
+        """,
+        "nation_trade_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            WHERE sn.n_name <> cn.n_name
+            GROUP BY sn.n_name, cn.n_name
+            ORDER BY supp_nation, cust_nation
         """,
         "asof_prior_view": """
             SELECT e.event_id, v.ts AS prior_view_ts

@@ -2964,3 +2964,203 @@ def perplexity_buckets(sf_dir: str) -> pd.DataFrame:
 
     out = scored.map_batches(assign, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def returned_item_report(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 flavor: top-20 customers by revenue lost to returned
+    items, enriched with name and nation.  Scale shape: the returned
+    lineitems are pre-aggregated per order MAP-SIDE (shrinks the fact
+    side to ≤|orders| rows before any exchange), hash-joined to the
+    order→customer projection, re-aggregated per customer, and only the
+    20 survivors of the distributed sort+limit touch the dimension
+    tables (driver-side filtered read — never a customer-wide join).
+    Reference analog: per-page metric rollup, ocr_skel/pipeline.py."""
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"]
+        rev = df["l_extendedprice"] * (1 - df["l_discount"])
+        return (df.assign(revenue=rev)
+                .groupby("l_orderkey", as_index=False)
+                .agg(revenue=("revenue", "sum")))
+
+    order_rev = _partial_groupby(li, ["l_orderkey"], per_order,
+                                 [("revenue", "f")])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from ..stages.util import cluster_cpus
+    nparts = max(8, min(cluster_cpus(), orders.count() // 50_000 + 1))
+    joined = order_rev.join(orders, "inner", num_partitions=nparts,
+                            on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def by_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", as_index=False).agg(
+            revenue=("revenue", "sum"))
+
+    cust_rev = _partial_groupby(joined, ["o_custkey"], by_cust,
+                                [("revenue", "f")])
+
+    def round_rev(b: pa.Table) -> pa.Table:
+        rev = pa.array(_round_away(b["revenue"].to_numpy(
+            zero_copy_only=False), 2), pa.float64())
+        return pa.table({"o_custkey": b["o_custkey"], "revenue": rev})
+
+    top = (cust_rev.map_batches(round_rev, batch_format="pyarrow")
+           .sort(["revenue", "o_custkey"], descending=[True, False])
+           .limit(20).to_pandas())
+
+    # dimension enrichment for the 20 survivors only: filtered parquet
+    # read (predicate pushdown), no full-table scan or shuffle join
+    keys = top["o_custkey"].tolist()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=[("c_custkey", "in", keys)]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+           .merge(nation, left_on="c_nationkey", right_on="n_nationkey"))
+    out = out.rename(columns={"n_name": "nation"})[
+        ["c_custkey", "c_name", "nation", "revenue"]]
+    return (out.sort_values(["revenue", "c_custkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def small_qty_order_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 flavor (correlated aggregate → broadcast join-back):
+    yearly revenue lost if small-quantity orders (< 20% of the part's
+    average order quantity) for one brand were not taken.  Scale shape:
+    the brand's partkeys are a filtered dim read broadcast once; pass 1
+    computes per-part (sum, count) map-side over only matching rows
+    (tiny exchange: one row per brand part); the resulting avg table is
+    broadcast; pass 2 is a zero-exchange filtered sum.  l_quantity is
+    integer-valued, so per-part sums are exact in float64 and the
+    0.2·avg threshold is bit-identical to the SQL oracle's."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    keys = set(part.filter(pc.equal(part["p_brand"], "Brand#12"))
+               ["p_partkey"].to_pylist())
+    keys_ref = ray.put(keys)
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def qty_partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(ray.get(keys_ref))]
+        return (df.assign(n=np.int64(1))
+                .groupby("l_partkey", as_index=False)
+                .agg(qty=("l_quantity", "sum"), n=("n", "sum")))
+
+    avg = _partial_groupby(li, ["l_partkey"], qty_partials,
+                           [("qty", "f"), ("n", "i")]).to_pandas()
+    thresh_ref = ray.put(dict(zip(
+        avg["l_partkey"], 0.2 * (avg["qty"] / avg["n"]))))
+
+    def rev_partials(df: pd.DataFrame) -> pd.DataFrame:
+        th = ray.get(thresh_ref)
+        df = df[df["l_partkey"].isin(ray.get(keys_ref))]
+        cut = df["l_partkey"].map(th)
+        kept = df[df["l_quantity"] < cut]
+        return pd.DataFrame({"one": np.array([0], dtype=np.int64),
+                             "rev": [kept["l_extendedprice"].sum()]})
+
+    tot = _partial_groupby(li, ["one"], rev_partials,
+                           [("rev", "f")]).to_pandas()
+    return pd.DataFrame({
+        "avg_yearly": [_round_away(float(tot["rev"].sum()) / 7.0, 2)]})
+
+
+def segment_priority_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE (market segment, order priority): order counts and
+    revenue at all four grouping levels.  Scale shape: ONE map-side
+    combined groupby at the finest (segment, priority) grain — the
+    customer→segment dim broadcast — then the three coarser levels are
+    derived from the ≤ |segments|·|priorities| finest rows driver-side
+    (same discipline as ``customer_rollup``, which covers ROLLUP)."""
+    ref = _broadcast_custseg(sf_dir)
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out = pd.DataFrame({"segment": df["o_custkey"].map(lookup),
+                            "priority": df["o_orderpriority"],
+                            "n_orders": np.int64(1),
+                            "price": df["o_totalprice"]})
+        return out.groupby(["segment", "priority"], as_index=False).agg(
+            n_orders=("n_orders", "sum"), price=("price", "sum"))
+
+    fine = _partial_groupby(ds, ["segment", "priority"], partials,
+                            [("n_orders", "i"), ("price", "f")]).to_pandas()
+
+    def level(df: pd.DataFrame, seg: bool, prio: bool) -> pd.DataFrame:
+        keys = ([("segment" if seg else None), ("priority" if prio else None)])
+        keys = [k for k in keys if k]
+        if keys:
+            g = df.groupby(keys, as_index=False).agg(
+                n_orders=("n_orders", "sum"), price=("price", "sum"))
+        else:
+            g = pd.DataFrame({"n_orders": [df["n_orders"].sum()],
+                              "price": [df["price"].sum()]})
+        if not seg:
+            g["segment"] = "ALL"
+        if not prio:
+            g["priority"] = "ALL"
+        return g[["segment", "priority", "n_orders", "price"]]
+
+    out = pd.concat([level(fine, s, p)
+                     for s in (True, False) for p in (True, False)],
+                    ignore_index=True)
+    out["revenue"] = _round_away(out["price"], 2)
+    out = out.drop(columns=["price"])
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.sort_values(["segment", "priority"]).reset_index(drop=True)
+
+
+def nation_trade_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 flavor: cross-border revenue between (supplier nation,
+    customer nation) pairs.  Scale shape: the only big-big exchange is
+    lineitem ⋈ orders (hash join, data-scaled partitions); supplier→
+    nation and customer→nation are int→small-int dim maps broadcast via
+    ``ray.put`` (at 100 TB the customer map is the large-broadcast
+    regime — the bucketed ``Dataset.join`` in stages/joins.py is the
+    documented fallback); the final groupby exchanges ≤ |nations|² rows
+    per batch."""
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    s2n = dict(zip(sup["s_suppkey"].to_pylist(),
+                   (n2name[k] for k in sup["s_nationkey"].to_pylist())))
+    c2n = dict(zip(cust["c_custkey"].to_pylist(),
+                   (n2name[k] for k in cust["c_nationkey"].to_pylist())))
+    ref = ray.put((s2n, c2n))
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from ..stages.util import cluster_cpus
+    nparts = max(8, min(cluster_cpus(), li.count() // 50_000 + 1))
+    joined = li.join(orders, "inner", num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        s2n_, c2n_ = ray.get(ref)
+        out = pd.DataFrame({
+            "supp_nation": df["l_suppkey"].map(s2n_),
+            "cust_nation": df["o_custkey"].map(c2n_),
+            "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+            "n_items": np.int64(1)})
+        out = out[out["supp_nation"] != out["cust_nation"]]
+        return out.groupby(["supp_nation", "cust_nation"],
+                           as_index=False).agg(
+            revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+
+    out = _partial_groupby(joined, ["supp_nation", "cust_nation"], partials,
+                           [("revenue", "f"), ("n_items", "i")]).to_pandas()
+    out["revenue"] = _round_away(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return (out.sort_values(["supp_nation", "cust_nation"])
+            .reset_index(drop=True))
