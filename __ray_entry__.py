@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_recall": R.ivf_recall,
         "semdedup_keep": R.semdedup_keep,
         "embedding_neardup": R.embedding_neardup_q,
+        "embedding_components": R.embedding_components,
         # flagship extraction + text analysis (rows-only)
         "extract_pages": R.extract_pages_q,
         "quality_scores": R.quality_scores,
@@ -1079,6 +1080,22 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY CUBE (c_mktsegment, o_orderpriority)
             ORDER BY segment, priority
+        """,
+        "embedding_components": """
+            WITH RECURSIVE e AS (
+              SELECT a.vec_id AS s, b.vec_id AS t
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                      >= 0.42
+            ), sym AS (
+              SELECT s, t FROM e UNION ALL SELECT t AS s, s AS t FROM e
+            ), walk(v, l) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT sym.t, walk.l FROM walk JOIN sym ON sym.s = walk.v
+            )
+            SELECT v AS vec_id, CAST(min(l) AS BIGINT) AS component
+            FROM walk GROUP BY v ORDER BY vec_id
         """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

@@ -3164,3 +3164,27 @@ def nation_trade_volume(sf_dir: str) -> pd.DataFrame:
     out["n_items"] = out["n_items"].astype(np.int64)
     return (out.sort_values(["supp_nation", "cust_nation"])
             .reset_index(drop=True))
+
+
+def embedding_components(sf_dir: str) -> pd.DataFrame:
+    """Distributed connected components over the exact cosine-threshold
+    similarity graph (τ = 0.42): every vector labeled with the min
+    vec_id of its component.  Scale shape: edge generation is the
+    broadcast-matmul exact baseline (``cosine_threshold_pairs``; LSH
+    pair generation is the 100-TB path), and the components themselves
+    come from ``stages/cc.py`` min-label propagation — per-round
+    exchanges move (node, label) int pairs only, never vectors.  τ sits
+    in a ≥7e-4-wide empty gap of the pair-sim distribution at every
+    test tier, so float-kernel differences vs the SQL oracle cannot
+    flip edge membership."""
+    from ..stages.cc import connected_component_labels
+    from ..stages.similarity import cosine_threshold_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = cosine_threshold_pairs(ds, threshold=0.42, id_col="vec_id")
+    labels = connected_component_labels(
+        ds.select_columns(["vec_id"]), pairs, id_col="vec_id")
+    out = labels.to_pandas().rename(columns={"label": "component"})
+    out["component"] = out["component"].astype(np.int64)
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)

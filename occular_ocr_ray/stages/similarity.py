@@ -361,3 +361,52 @@ def knn_ivf(ds, query_ids: list[int], k: int = 5, *, n_clusters: int = 16,
                         concurrency=concurrency)
     return query_ivf(index_dir, query_ids, k=k, nprobe=nprobe,
                      concurrency=concurrency)
+
+
+class _ThresholdPairs:
+    """Actor: holds the broadcast unit-normalized corpus matrix; each
+    batch matmuls against it and emits exact cosine-threshold edges
+    (id_a < id_b).  Fetch-once in ``__init__`` (actor-pool pattern)."""
+
+    def __init__(self, corpus_ref, threshold: float,
+                 id_col: str, vec_col: str) -> None:
+        self.ids, self.unit_t = ray.get(corpus_ref)
+        self.threshold = float(threshold)
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False)
+        unit = _unit(_as_matrix(batch[self.vec_col]))
+        sims = unit @ self.unit_t  # (batch, corpus)
+        bi, cj = np.nonzero(sims >= self.threshold)
+        a, b = ids[bi], self.ids[cj]
+        keep = a < b  # undirected edge once, no self-loops
+        return pa.table({"id_a": pa.array(a[keep], pa.int64()),
+                         "id_b": pa.array(b[keep], pa.int64())})
+
+
+def cosine_threshold_pairs(ds, *, threshold: float,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           concurrency=None):
+    """Exact cosine similarity self-join (all pairs with sim ≥ τ).
+
+    Scale shape: the corpus matrix is broadcast ONCE (``ray.put``; the
+    broadcast side must fit a worker — the same regime as
+    ``knn_bruteforce``'s query matrix) and every batch does one numpy
+    matmul; the corpus never shuffles.  This is the oracle-checkable
+    exact baseline; at 100 TB the pair-generation path is the
+    LSH-bucketed ``dedup.embedding_lsh_pairs`` (candidate buckets only),
+    exactly as ``knn_ivf`` is ``knn_bruteforce``'s scale path."""
+    corpus = pa.concat_tables(
+        ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs()))
+    ids = corpus[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    unit_t = np.ascontiguousarray(_unit(_as_matrix(corpus[vec_col])).T)
+    ref = ray.put((ids, unit_t))
+    return ds.map_batches(
+        _ThresholdPairs,
+        fn_constructor_args=(ref, threshold, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency or default_pool(),
+    )
