@@ -1778,3 +1778,50 @@ def test_perplexity_buckets_group_gate(tmp_path, monkeypatch):
     monkeypatch.setattr(R, "_EXACT_QUANTILE_GROUP_LIMIT", 10)
     with _pytest.raises(ValueError, match="histogram-refine"):
         R.perplexity_buckets(str(tmp_path))
+
+
+def test_embedding_components_planted_and_partition_invariant(tmp_path):
+    """Planted orthogonal clusters → exact expected labels (min id per
+    component); singleton one-hot vectors stay their own component; and
+    the result is invariant to input sharding (the CC exchanges are
+    keyed, never positional)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    dim = 16
+    vecs, ids = [], []
+    # three planted clusters of 5: base e_i plus a tiny distinct wiggle
+    for c in range(3):
+        for j in range(5):
+            v = np.zeros(dim, dtype=np.float32)
+            v[c] = 1.0
+            v[3 + j] = 0.05
+            vecs.append(v)
+            ids.append(c * 5 + j)
+    # five exactly-orthogonal singletons
+    for j in range(5):
+        v = np.zeros(dim, dtype=np.float32)
+        v[8 + j] = 1.0
+        vecs.append(v)
+        ids.append(15 + j)
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    flat = R.embedding_components(str(tmp_path))
+
+    expected = {i: (i // 5) * 5 if i < 15 else i for i in ids}
+    assert dict(zip(flat["vec_id"], flat["component"])) == expected
+
+    # rewrite as many tiny shards → identical result
+    (tmp_path / "embeddings.parquet").unlink()
+    (tmp_path / "embeddings.parquet").mkdir()
+    for i in range(5):
+        pq.write_table(t.slice(i * 4, 4),
+                       str(tmp_path / "embeddings.parquet" / f"p{i}.parquet"))
+    sharded = R.embedding_components(str(tmp_path))
+    pd.testing.assert_frame_equal(flat, sharded)
