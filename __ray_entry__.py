@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed ranking / grouped quantiles (round-3 additions)
         "ranked_orders": R.ranked_orders,
         "order_price_quantiles": R.order_price_quantiles,
+        "order_price_quantiles_cont": R.order_price_quantiles_cont,
         "order_price_ntile": R.order_price_ntile,
         "segment_priority_list": R.segment_priority_list,
         "approx_price_quantiles": R.approx_price_quantiles,
@@ -789,6 +790,15 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.25) AS p25,
                    quantile_disc(o_totalprice, 0.50) AS p50,
                    quantile_disc(o_totalprice, 0.90) AS p90
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "order_price_quantiles_cont": """
+            SELECT c_mktsegment,
+                   count(*) AS n_orders,
+                   round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.90), 4) AS p90
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,

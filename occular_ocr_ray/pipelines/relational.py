@@ -752,6 +752,7 @@ _EXACT_QUANTILE_GROUP_LIMIT = 50_000_000
 
 def order_price_quantiles(sf_dir: str, *,
                           max_group_rows: int = _EXACT_QUANTILE_GROUP_LIMIT,
+                          interpolated: bool = False,
                           ) -> pd.DataFrame:
     """Per-segment exact discrete quantiles (p25/p50/p90) of order
     totalprice — a grouped-quantile aggregate Ray Data lacks.  The
@@ -810,13 +811,43 @@ def order_price_quantiles(sf_dir: str, *,
              "p25": [q(1, 4)], "p50": [q(1, 2)], "p90": [q(9, 10)]}
         )
 
+    def quantiles_cont(g: pd.DataFrame) -> pd.DataFrame:
+        # DuckDB quantile_cont: linear interpolation at (n−1)·q.  Its
+        # internal interpolation differs from any one fixed formula by
+        # up to 1 ulp, so cont results are rounded to 4 decimals (the
+        # disc variant stays exact — it only ever selects a value).
+        v = np.sort(g["o_totalprice"].to_numpy())
+        n = len(v)
+
+        def q(frac_q: float) -> float:
+            pos = (n - 1) * frac_q
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            f = pos - lo
+            return _round_away(float(v[lo] + f * (v[hi] - v[lo])), 4)
+
+        return pd.DataFrame(
+            {"c_mktsegment": [g["c_mktsegment"].iloc[0]],
+             "n_orders": np.array([n], dtype=np.int64),
+             "p25": [q(0.25)], "p50": [q(0.50)], "p90": [q(0.90)]}
+        )
+
     out = (
         ds.map_batches(project, batch_format="pandas")
         .groupby("c_mktsegment")
-        .map_groups(quantiles, batch_format="pandas")
+        .map_groups(quantiles_cont if interpolated else quantiles,
+                    batch_format="pandas")
         .to_pandas()
     )
     return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def order_price_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """Per-segment interpolated quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont`` semantics) — same gated co-locating exchange as
+    the discrete variant, linear interpolation at (n−1)·q inside each
+    group, rounded to 4 decimals (see ``quantiles_cont``)."""
+    return order_price_quantiles(sf_dir, interpolated=True)
 
 
 def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
