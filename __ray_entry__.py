@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "small_qty_order_revenue": R.small_qty_order_revenue,
         "segment_priority_cube": R.segment_priority_cube,
         "nation_trade_volume": R.nation_trade_volume,
+        "source_token_divergence": R.source_token_divergence,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1090,6 +1091,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY CUBE (c_mktsegment, o_orderpriority)
             ORDER BY segment, priority
+        """,
+        "source_token_divergence": """
+            WITH toks AS (
+              SELECT source,
+                     unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> x <> '')) AS w
+              FROM documents),
+            sc AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+            st AS (SELECT source, CAST(sum(c) AS DOUBLE) AS t
+                   FROM sc GROUP BY 1),
+            cc AS (SELECT w, CAST(sum(c) AS DOUBLE) AS cw FROM sc GROUP BY 1),
+            ct AS (SELECT sum(cw) AS t FROM cc)
+            SELECT sc.source, CAST(st.t AS BIGINT) AS n_tokens,
+                   round(sum((sc.c / st.t)
+                             * ln((sc.c / st.t) / (cc.cw / ct.t))), 6) AS kl
+            FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN ct
+            GROUP BY sc.source, st.t ORDER BY sc.source
         """,
         "embedding_components": """
             WITH RECURSIVE e AS (

@@ -3219,3 +3219,44 @@ def embedding_components(sf_dir: str) -> pd.DataFrame:
     out["component"] = out["component"].astype(np.int64)
     out["vec_id"] = out["vec_id"].astype(np.int64)
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def source_token_divergence(sf_dir: str) -> pd.DataFrame:
+    """Corpus-drift monitor: per-source KL divergence between the
+    source's unigram token distribution and the whole-corpus
+    distribution (the data-mixing / contamination-drift audit a
+    training pipeline runs per crawl or per provider).  Scale shape:
+    the ONLY exchange is the map-side-combined (source, token, count)
+    aggregate — token counting happens in vectorized explode partials;
+    the divergence itself is computed over the bounded
+    |sources|×|vocab| aggregate (100-TB variant = top-K vocab cap with
+    an OOV bucket, same discipline as ``unigram_logprob``)."""
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.split()
+        n = toks.str.len().to_numpy()
+        if int(n.sum()) == 0:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype=np.int64)})
+        out = pd.DataFrame({
+            "source": np.repeat(df["source"].to_numpy(), n),
+            "w": np.concatenate(toks.to_numpy()),
+            "c": np.int64(1)})
+        return out.groupby(["source", "w"], as_index=False).agg(c=("c", "sum"))
+
+    cnt = _partial_groupby(ds, ["source", "w"], partials,
+                           [("c", "i")]).to_pandas()
+    st = cnt.groupby("source")["c"].sum().astype(np.float64)   # per-source totals
+    cc = cnt.groupby("w")["c"].sum().astype(np.float64)        # corpus per-token
+    ct = float(cc.sum())
+    p = cnt["c"].to_numpy(np.float64) / cnt["source"].map(st).to_numpy()
+    q = cnt["w"].map(cc).to_numpy() / ct
+    terms = pd.DataFrame({"source": cnt["source"], "t": p * np.log(p / q)})
+    kl = terms.groupby("source", as_index=False)["t"].sum()
+    out = pd.DataFrame({
+        "source": kl["source"],
+        "n_tokens": kl["source"].map(st).astype(np.int64),
+        "kl": _round_away(kl["t"].to_numpy(), 6)})
+    return out.sort_values("source").reset_index(drop=True)
