@@ -1127,8 +1127,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nation_trade_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                     AS revenue,
+                   -- DECIMAL keeps the 600 group sums exact: several
+                   -- land exactly on a half-cent, where a float sum's
+                   -- last ulp (summation-order-dependent) would decide
+                   -- the rounding direction
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                                  * CAST(1 - l_discount AS DECIMAL(18, 2))),
+                              2) AS DOUBLE) AS revenue,
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem
             JOIN orders ON o_orderkey = l_orderkey

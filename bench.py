@@ -150,6 +150,10 @@ def run_bench() -> dict:
         "tfidf_top_terms": R.tfidf_top_terms,
         "approx_price_quantiles": R.approx_price_quantiles,
         "ranked_orders": R.ranked_orders,
+        # r5 session-3 additions (join-heavy showcases; new keys only —
+        # pre-existing tracked queries stay comparable across rounds)
+        "returned_item_report": R.returned_item_report,
+        "nation_trade_volume": R.nation_trade_volume,
     }
     for name, fn in qset.items():
         t0 = time.perf_counter()

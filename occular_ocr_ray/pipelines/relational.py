@@ -3179,21 +3179,35 @@ def nation_trade_volume(sf_dir: str) -> pd.DataFrame:
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         s2n_, c2n_ = ray.get(ref)
+        # exact integer ten-thousandths of a dollar: price and discount
+        # are exact 2-decimal values, so cents(price) × hundredths(1−d)
+        # is the EXACT revenue — the per-group sum is order-insensitive
+        # int64 arithmetic, hence parallelism-invariant.  A float sum
+        # is not: with 600 output cells, some group sums land exactly
+        # on a half-cent and the partial-sum tree shape (which varies
+        # with cpu count) would decide the 2-dp rounding direction.
+        rev_e4 = (
+            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1.0 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
+        )
         out = pd.DataFrame({
             "supp_nation": df["l_suppkey"].map(s2n_),
             "cust_nation": df["o_custkey"].map(c2n_),
-            "revenue": df["l_extendedprice"] * (1 - df["l_discount"]),
+            "rev_e4": rev_e4,
             "n_items": np.int64(1)})
         out = out[out["supp_nation"] != out["cust_nation"]]
         return out.groupby(["supp_nation", "cust_nation"],
                            as_index=False).agg(
-            revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+            rev_e4=("rev_e4", "sum"), n_items=("n_items", "sum"))
 
     out = _partial_groupby(joined, ["supp_nation", "cust_nation"], partials,
-                           [("revenue", "f"), ("n_items", "i")]).to_pandas()
-    out["revenue"] = _round_away(out["revenue"], 2)
+                           [("rev_e4", "i"), ("n_items", "i")]).to_pandas()
+    # exact half-away-from-zero rounding to cents, in integer arithmetic
+    out["revenue"] = ((out["rev_e4"] + 50) // 100) / 100.0
+    out = out.drop(columns=["rev_e4"])
     out["n_items"] = out["n_items"].astype(np.int64)
-    return (out.sort_values(["supp_nation", "cust_nation"])
+    return (out[["supp_nation", "cust_nation", "revenue", "n_items"]]
+            .sort_values(["supp_nation", "cust_nation"])
             .reset_index(drop=True))
 
 
@@ -3207,14 +3221,26 @@ def embedding_components(sf_dir: str) -> pd.DataFrame:
     exchanges move (node, label) int pairs only, never vectors.  τ sits
     in a ≥7e-4-wide empty gap of the pair-sim distribution at every
     test tier, so float-kernel differences vs the SQL oracle cannot
-    flip edge membership."""
+    flip edge membership.  Toy-scale wall time is dominated by the
+    fixed per-Dataset-op executor latency × propagation rounds (≈6 ops
+    × diameter+1 rounds), NOT by data volume — at real scale the same
+    round structure amortizes over 10⁹-node exchanges (cf. the
+    driver-union-find/distributed-CC duality in minhash_dedup_keep)."""
     from ..stages.cc import connected_component_labels
     from ..stages.similarity import cosine_threshold_pairs
 
+    from ..stages.joins import _default_num_buckets
+
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = cosine_threshold_pairs(ds, threshold=0.42, id_col="vec_id")
+    # per-round join width tracks the data, capped by the cluster —
+    # cluster-many buckets over a tiny graph is pure exchange-actor
+    # overhead repeated every propagation round (same discipline as the
+    # data-scaled nparts in orders_join_priority)
+    nb = max(8, min(_default_num_buckets(), ds.count() // 50_000 + 1))
     labels = connected_component_labels(
-        ds.select_columns(["vec_id"]), pairs, id_col="vec_id")
+        ds.select_columns(["vec_id"]), pairs, id_col="vec_id",
+        num_buckets=nb)
     out = labels.to_pandas().rename(columns={"label": "component"})
     out["component"] = out["component"].astype(np.int64)
     out["vec_id"] = out["vec_id"].astype(np.int64)
