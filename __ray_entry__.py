@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_priority_cube": R.segment_priority_cube,
         "nation_trade_volume": R.nation_trade_volume,
         "source_token_divergence": R.source_token_divergence,
+        "top_revenue_suppliers": R.top_revenue_suppliers,
+        "orders_monthly_growth": R.orders_monthly_growth,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1091,6 +1093,34 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON c_custkey = o_custkey
             GROUP BY CUBE (c_mktsegment, o_orderpriority)
             ORDER BY segment, priority
+        """,
+        "top_revenue_suppliers": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                         * CAST(1 - l_discount AS DECIMAL(18, 2))) AS rev
+              FROM lineitem GROUP BY 1)
+            SELECT s_suppkey, s_name,
+                   CAST(round(rev, 2) AS DOUBLE) AS total_revenue
+            FROM r JOIN supplier ON s_suppkey = l_suppkey
+            WHERE rev = (SELECT max(rev) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "orders_monthly_growth": """
+            WITH m AS (
+              SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                     CAST(count(*) AS BIGINT) AS n_orders,
+                     sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS rev
+              FROM orders GROUP BY 1)
+            SELECT month, n_orders,
+                   CAST(rev AS DOUBLE) AS revenue,
+                   round((n_orders - LAG(n_orders) OVER (ORDER BY month))
+                         * 1.0
+                         / LAG(n_orders) OVER (ORDER BY month), 6) AS growth
+            FROM m
+            QUALIFY LAG(n_orders) OVER (ORDER BY month) IS NOT NULL
+            ORDER BY month
         """,
         "source_token_divergence": """
             WITH toks AS (

@@ -3286,3 +3286,73 @@ def source_token_divergence(sf_dir: str) -> pd.DataFrame:
         "n_tokens": kl["source"].map(st).astype(np.int64),
         "kl": _round_away(kl["t"].to_numpy(), 6)})
     return out.sort_values("source").reset_index(drop=True)
+
+
+def top_revenue_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 flavor (argmax over an aggregate, WITH ties): the
+    supplier(s) whose lineitem revenue equals the global maximum.
+    Scale shape: ONE map-side-combined groupby to per-supplier totals
+    (≤ |suppliers| rows), a scalar ``Max`` aggregate over that small
+    table, then a vectorized equality filter — the fact table is
+    scanned once and never re-joined.  Revenue is summed as exact
+    int64 ten-thousandths (order-insensitive ⇒ parallelism-invariant;
+    the equality-with-max compare is exact, which a float sum could
+    never guarantee); the SQL oracle mirrors with DECIMAL products."""
+    li = _t(sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rev_e4 = (
+            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1.0 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
+        )
+        out = pd.DataFrame({"l_suppkey": df["l_suppkey"], "rev_e4": rev_e4})
+        return out.groupby("l_suppkey", as_index=False).agg(
+            rev_e4=("rev_e4", "sum"))
+
+    totals = _partial_groupby(li, ["l_suppkey"], partials,
+                              [("rev_e4", "i")])
+    from ray.data.aggregate import Max
+    best = int(totals.aggregate(Max("rev_e4", alias_name="m"))["m"])
+
+    def winners(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["rev_e4"], best))
+
+    top = totals.map_batches(winners, batch_format="pyarrow").to_pandas()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = ((out["rev_e4"] + 50) // 100) / 100.0
+    return (out[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month order-count growth (a window over an AGGREGATE
+    series, vs the row-level windows elsewhere): tumbling month rollup,
+    then LAG-style pct change over the ≤ |months| aggregate rows
+    driver-side.  Revenue summed as exact int64 cents (o_totalprice is
+    an exact 2-decimal value) so the rollup is parallelism-invariant."""
+    ds = _t(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "month": df["o_orderdate"].dt.strftime("%Y-%m"),
+            "n_orders": np.int64(1),
+            "rev_e2": np.rint(
+                df["o_totalprice"].to_numpy() * 100).astype(np.int64)})
+        return out.groupby("month", as_index=False).agg(
+            n_orders=("n_orders", "sum"), rev_e2=("rev_e2", "sum"))
+
+    m = _partial_groupby(ds, ["month"], partials,
+                         [("n_orders", "i"), ("rev_e2", "i")]).to_pandas()
+    m = m.sort_values("month").reset_index(drop=True)
+    m["revenue"] = m["rev_e2"] / 100.0
+    prev = m["n_orders"].shift(1)
+    m["growth"] = _round_away(
+        (m["n_orders"] - prev).to_numpy(np.float64)
+        / prev.to_numpy(np.float64), 6)
+    out = m.dropna(subset=["growth"])[
+        ["month", "n_orders", "revenue", "growth"]]
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return out.reset_index(drop=True)
