@@ -1825,3 +1825,31 @@ def test_embedding_components_planted_and_partition_invariant(tmp_path):
                        str(tmp_path / "embeddings.parquet" / f"p{i}.parquet"))
     sharded = R.embedding_components(str(tmp_path))
     pd.testing.assert_frame_equal(flat, sharded)
+
+
+def test_top_revenue_suppliers_keeps_all_tied_winners(tmp_path):
+    """Q15 semantics: equality-with-max must keep EVERY tied supplier —
+    exact int64 revenue makes the tie deterministic (planted: two
+    suppliers with identical totals, one strictly below)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    li = pa.table({
+        "l_suppkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        # supplier 1: 100.00*(1-0.10) + 10.00*(1-0.00) = 100.00
+        # supplier 2: 50.00*(1-0.00)*2               = 100.00  (tie)
+        # supplier 3: 99.99                           (just below)
+        "l_extendedprice": pa.array([100.0, 10.0, 50.0, 50.0, 99.99]),
+        "l_discount": pa.array([0.10, 0.0, 0.0, 0.0, 0.0]),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    sup = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+    })
+    pq.write_table(sup, str(tmp_path / "supplier.parquet"))
+
+    out = R.top_revenue_suppliers(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["total_revenue"].tolist() == [100.0, 100.0]
