@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_token_divergence": R.source_token_divergence,
         "top_revenue_suppliers": R.top_revenue_suppliers,
         "orders_monthly_growth": R.orders_monthly_growth,
+        "brand_supplier_variety": R.brand_supplier_variety,
+        "late_orders_by_priority": R.late_orders_by_priority,
+        "promo_revenue_share": R.promo_revenue_share,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1121,6 +1124,39 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             QUALIFY LAG(n_orders) OVER (ORDER BY month) IS NOT NULL
             ORDER BY month
+        """,
+        "brand_supplier_variety": """
+            SELECT p_brand,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_size <= 20
+            GROUP BY p_brand
+            ORDER BY n_suppliers DESC, p_brand
+        """,
+        "late_orders_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "promo_revenue_share": """
+            WITH e AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                       AS rev_e4,
+                     p_type = 'PROMO' AS is_promo
+              FROM lineitem JOIN part ON p_partkey = l_partkey)
+            SELECT round(100.0 * CAST(sum(CASE WHEN is_promo
+                                              THEN rev_e4 ELSE 0 END)
+                                      AS DOUBLE)
+                         / CAST(sum(rev_e4) AS DOUBLE), 4)
+                     AS promo_revenue_pct
+            FROM e
         """,
         "source_token_divergence": """
             WITH toks AS (

@@ -3356,3 +3356,130 @@ def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
         ["month", "n_orders", "revenue", "growth"]]
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def brand_supplier_variety(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 flavor: EXACT grouped COUNT(DISTINCT) — how many
+    distinct suppliers ship each brand of small parts (p_size ≤ 20).
+    Scale shape: the filtered part dim is a partkey→brand dict
+    broadcast once (``ray.put``); each batch emits its LOCALLY distinct
+    (brand, suppkey) pairs (map-side dedup shrinks the exchange to the
+    pair cardinality, not the fact row count); ONE pair-keyed groupby
+    yields globally distinct pairs, and the per-brand count is a second
+    map-side-combined groupby over ≤ |brands|·|suppliers| rows — the
+    fact table itself never shuffles.  Complements
+    ``approx_distinct_users`` (mergeable-sketch COUNT DISTINCT) with
+    the exact two-level exchange.  Reference analog: per-page glyph-set
+    rollup, ocr_skel/pipeline.py."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    part = part.filter(pc.less_equal(part["p_size"], 20))
+    p2b = dict(zip(part["p_partkey"].to_pylist(),
+                   part["p_brand"].to_pylist()))
+    ref = ray.put(p2b)
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out = pd.DataFrame({"p_brand": df["l_partkey"].map(lookup),
+                            "l_suppkey": df["l_suppkey"]})
+        return out.dropna(subset=["p_brand"]).drop_duplicates()
+
+    distinct = (li.map_batches(local_pairs, batch_format="pandas")
+                .groupby(["p_brand", "l_suppkey"]).count())
+
+    def per_brand(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.assign(n_suppliers=np.int64(1))
+                .groupby("p_brand", as_index=False)
+                .agg(n_suppliers=("n_suppliers", "sum")))
+
+    out = _partial_groupby(distinct, ["p_brand"], per_brand,
+                           [("n_suppliers", "i")]).to_pandas()
+    out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+    return (out[["p_brand", "n_suppliers"]]
+            .sort_values(["n_suppliers", "p_brand"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def late_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 flavor: orders where any lineitem shipped more than 90
+    days after the order date, counted per priority — a correlated
+    EXISTS DECORRELATED into an aggregate: EXISTS(l_shipdate > cutoff)
+    ⟺ max(l_shipdate) > cutoff.  Scale shape: lineitem collapses
+    map-side to one (orderkey, max ship) row per order before the ONE
+    hash-join exchange with orders; the priority rollup is map-side
+    combined (≤ |priorities| rows per batch).  The fact table is never
+    joined row-per-lineitem.  Reference analog: page-level max-conf
+    short-circuit, ocr_skel/pipeline.py."""
+    from ray.data.aggregate import Max
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["l_shipdate"].astype("datetime64[ns]").astype("int64")
+        return (df.assign(ship_ns=ns)
+                .groupby("l_orderkey", as_index=False)
+                .agg(ship_ns=("ship_ns", "max")))
+
+    latest = (li.map_batches(per_order, batch_format="pandas")
+              .groupby("l_orderkey")
+              .aggregate(Max("ship_ns", alias_name="ship_ns")))
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    from ..stages.util import cluster_cpus
+    nparts = max(8, min(cluster_cpus(), orders.count() // 50_000 + 1))
+    joined = latest.join(orders, "inner", num_partitions=nparts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_prio(df: pd.DataFrame) -> pd.DataFrame:
+        cutoff = (df["o_orderdate"].astype("datetime64[ns]")
+                  .astype("int64") + 90 * 86_400 * 10**9)
+        late = df[df["ship_ns"] > cutoff]
+        return (late.assign(n_orders=np.int64(1))
+                .groupby("o_orderpriority", as_index=False)
+                .agg(n_orders=("n_orders", "sum")))
+
+    out = _partial_groupby(joined, ["o_orderpriority"], per_prio,
+                           [("n_orders", "i")]).to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return (out[["o_orderpriority", "n_orders"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 flavor: the percentage of lineitem revenue carried by
+    PROMO-type parts — broadcast-dim conditional aggregation with ZERO
+    exchange (a single global (promo, total) sum pair flows out of
+    every batch).  Revenue is summed in exact int64 ten-thousandths
+    (the ``nation_trade_volume`` discipline) so the percentage is
+    bit-identical to the oracle regardless of partial-sum tree shape;
+    the final 100·a/b division happens once, on the exact integers, in
+    the same operation order as the SQL.  Reference analog: corpus-wide
+    confidence ratio, ocr_skel/pipeline.py."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo = set(part.filter(pc.equal(part["p_type"], "PROMO"))
+                ["p_partkey"].to_pylist())
+    ref = ray.put(promo)
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rev_e4 = (
+            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1.0 - df["l_discount"].to_numpy()) * 100)
+            .astype(np.int64))
+        is_promo = df["l_partkey"].isin(ray.get(ref)).to_numpy()
+        return pd.DataFrame({
+            "one": np.array([0], dtype=np.int64),
+            "promo_e4": [rev_e4[is_promo].sum()],
+            "total_e4": [rev_e4.sum()]})
+
+    tot = _partial_groupby(li, ["one"], partials,
+                           [("promo_e4", "i"), ("total_e4", "i")]).to_pandas()
+    pct = (100.0 * float(tot["promo_e4"].sum())
+           / float(tot["total_e4"].sum()))
+    return pd.DataFrame(
+        {"promo_revenue_pct": [float(_round_away(pct, 4))]})
