@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_supplier_variety": R.brand_supplier_variety,
         "late_orders_by_priority": R.late_orders_by_priority,
         "promo_revenue_share": R.promo_revenue_share,
+        "big_ticket_orders": R.big_ticket_orders,
+        "rich_inactive_customers": R.rich_inactive_customers,
+        "events_hourly_spine": R.events_hourly_spine,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1157,6 +1160,60 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(sum(rev_e4) AS DOUBLE), 4)
                      AS promo_revenue_pct
             FROM e
+        """,
+        "big_ticket_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 200)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_totalprice, total_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 50
+        """,
+        "rich_inactive_customers": """
+            WITH c AS (
+              SELECT c_custkey, c_acctbal, c_mktsegment,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+              FROM customer),
+            t AS (
+              SELECT sum(cents) AS total, count(*) AS n
+              FROM c WHERE cents > 0)
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_custs,
+                   CAST(sum(cents) AS DOUBLE) / 100 AS total_bal
+            FROM c, t
+            WHERE cents * n > total
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        "events_hourly_spine": """
+            WITH b AS (
+              SELECT min(date_trunc('hour', ts)) AS lo,
+                     max(date_trunc('hour', ts)) AS hi
+              FROM events),
+            s AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM b),
+            ty AS (SELECT DISTINCT event_type AS et FROM events),
+            hourly AS (
+              SELECT date_trunc('hour', ts) AS h, event_type AS et,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2)
+            SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour,
+                   ty.et AS event_type,
+                   CAST(COALESCE(hourly.n, 0) AS BIGINT) AS n_events
+            FROM s CROSS JOIN ty
+            LEFT JOIN hourly ON hourly.h = s.h AND hourly.et = ty.et
+            ORDER BY 1, 2
         """,
         "source_token_divergence": """
             WITH toks AS (

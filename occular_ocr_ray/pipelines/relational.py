@@ -3483,3 +3483,140 @@ def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
            / float(tot["total_e4"].sum()))
     return pd.DataFrame(
         {"promo_revenue_pct": [float(_round_away(pct, 4))]})
+
+
+def big_ticket_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 flavor: HAVING-then-rejoin — orders whose total
+    quantity exceeds 300 lines' worth (sum > 200), top-50 by price,
+    enriched with the customer.  Scale shape: lineitem collapses
+    map-side to per-order quantity sums; the HAVING filter runs on the
+    aggregate BEFORE the join, so only qualifying orders (≈1% of
+    orders) enter the ONE hash-join exchange; the distributed
+    sort+limit leaves 50 survivors whose customer names come from a
+    predicate-pushdown dim read (the ``returned_item_report``
+    discipline — never a customer-wide join).  l_quantity is
+    integer-valued so the float sums are exact.  Reference analog:
+    confidence-gated page rollup, ocr_skel/pipeline.py."""
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def per_order(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("l_orderkey", as_index=False)
+                .agg(total_qty=("l_quantity", "sum")))
+
+    qty = _partial_groupby(li, ["l_orderkey"], per_order,
+                           [("total_qty", "f")])
+    big = qty.map_batches(lambda df: df[df["total_qty"] > 200],
+                          batch_format="pandas")
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    from ..stages.util import cluster_cpus
+    nparts = max(8, min(cluster_cpus(), orders.count() // 50_000 + 1))
+    joined = big.join(orders, "inner", num_partitions=nparts,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    top = (joined.sort(["o_totalprice", "l_orderkey"],
+                       descending=[True, False])
+           .limit(50).to_pandas())
+
+    keys = top["o_custkey"].tolist()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"],
+                         filters=[("c_custkey", "in", keys)]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    out = out.rename(columns={"l_orderkey": "o_orderkey"})[
+        ["c_name", "c_custkey", "o_orderkey", "orderdate",
+         "o_totalprice", "total_qty"]]
+    return (out.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def rich_inactive_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 flavor: customers with an above-average positive
+    balance who never placed a 1-URGENT order, rolled up per segment —
+    a SCALAR subquery broadcast plus a distributed anti-semi-join.
+    Scale shape: pass 1 is a zero-exchange (sum, count) pair over
+    integer cents; the threshold test ``cents·n > total`` is exact
+    int64 arithmetic (no float avg, so membership at the boundary is
+    parallelism-invariant); the filtered customers anti-join the
+    urgent-order keys via the bucketed ``anti_join_ids`` exchange
+    (nothing collected); the segment rollup sums exact cents map-side.
+    Reference analog: corpus-mean confidence gate,
+    ocr_skel/pipeline.py."""
+    from ..stages.dedup import anti_join_ids
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_partials(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        pos = cents[cents > 0]
+        return pd.DataFrame({"one": np.array([0], dtype=np.int64),
+                             "cents": [pos.sum()],
+                             "n": [np.int64(len(pos))]})
+
+    t = _partial_groupby(cust, ["one"], bal_partials,
+                         [("cents", "i"), ("n", "i")]).to_pandas()
+    total, n = int(t["cents"].sum()), int(t["n"].sum())
+
+    def rich_filter(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return df[cents * n > total]
+
+    rich = cust.map_batches(rich_filter, batch_format="pandas")
+    urgent = _t(sf_dir, "orders",
+                ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                   .select(["o_custkey"]),
+        batch_format="pyarrow")
+    inactive = anti_join_ids(rich, urgent, id_col="c_custkey",
+                             drop_col="o_custkey")
+
+    def per_seg(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return (pd.DataFrame({"c_mktsegment": df["c_mktsegment"],
+                              "n_custs": np.int64(1), "cents": cents})
+                .groupby("c_mktsegment", as_index=False)
+                .agg(n_custs=("n_custs", "sum"), cents=("cents", "sum")))
+
+    out = _partial_groupby(inactive, ["c_mktsegment"], per_seg,
+                           [("n_custs", "i"), ("cents", "i")]).to_pandas()
+    out["total_bal"] = out["cents"] / 100.0
+    out["n_custs"] = out["n_custs"].astype(np.int64)
+    return (out[["c_mktsegment", "n_custs", "total_bal"]]
+            .sort_values("c_mktsegment").reset_index(drop=True))
+
+
+def events_hourly_spine(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled time series: per-(hour, event type) counts over the
+    COMPLETE hour spine between the corpus min and max hour — absent
+    cells surface as explicit zeros (the query monitoring/training-mix
+    dashboards need; a plain groupby silently drops them; ≈6% of cells
+    are absent at sf0.01, ≈76% at sf0.001, so the fill is never
+    vacuous).  Scale shape: the distributed part is ONE map-side
+    combined groupby (≤ |hours|·|types| rows per batch); the spine
+    cross-product and left-merge are dimension-sized driver work, the
+    same regime as ``segment_priority_cube``'s coarse levels.
+    Reference analog: per-page timing histogram, ocr_skel/metrics.py."""
+    ev = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        return (pd.DataFrame({"hour": hour,
+                              "event_type": df["event_type"],
+                              "n_events": np.int64(1)})
+                .groupby(["hour", "event_type"], as_index=False)
+                .agg(n_events=("n_events", "sum")))
+
+    hourly = _partial_groupby(ev, ["hour", "event_type"], partials,
+                              [("n_events", "i")]).to_pandas()
+    lo = pd.Timestamp(hourly["hour"].min())
+    hi = pd.Timestamp(hourly["hour"].max())
+    spine = pd.date_range(lo, hi, freq="h").strftime("%Y-%m-%d %H:%M:%S")
+    types = sorted(hourly["event_type"].unique())
+    full = pd.MultiIndex.from_product(
+        [spine, types], names=["hour", "event_type"]).to_frame(index=False)
+    out = full.merge(hourly, how="left", on=["hour", "event_type"])
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    return (out.sort_values(["hour", "event_type"])
+            .reset_index(drop=True))
