@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_ticket_orders": R.big_ticket_orders,
         "rich_inactive_customers": R.rich_inactive_customers,
         "events_hourly_spine": R.events_hourly_spine,
+        "sole_late_suppliers": R.sole_late_suppliers,
+        "cheapest_part_per_brand": R.cheapest_part_per_brand,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1214,6 +1216,33 @@ def oracle_sql() -> dict[str, str]:
             FROM s CROSS JOIN ty
             LEFT JOIN hourly ON hourly.h = s.h AND hourly.et = ty.et
             ORDER BY 1, 2
+        """,
+        "sole_late_suppliers": """
+            WITH lo AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS ns,
+                     count(DISTINCT l_suppkey)
+                       FILTER (l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                       AS nlate,
+                     min(l_suppkey)
+                       FILTER (l_shipdate > o_orderdate + INTERVAL 60 DAY)
+                       AS late_s
+              FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM lo JOIN supplier ON s_suppkey = late_s
+            WHERE ns >= 2 AND nlate = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey
+        """,
+        "cheapest_part_per_brand": """
+            SELECT p_brand, p_partkey, p_retailprice FROM (
+              SELECT p_brand, p_partkey, p_retailprice,
+                     row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice, p_partkey) AS rn
+              FROM part) t
+            WHERE rn = 1 ORDER BY p_brand
         """,
         "source_token_divergence": """
             WITH toks AS (

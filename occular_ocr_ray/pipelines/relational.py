@@ -3620,3 +3620,114 @@ def events_hourly_spine(sf_dir: str) -> pd.DataFrame:
     out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
     return (out.sort_values(["hour", "event_type"])
             .reset_index(drop=True))
+
+
+def sole_late_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 flavor: suppliers who were the SOLE late shipper
+    (> 60 days after the order date) on a multi-supplier order — the
+    classic EXISTS + NOT-EXISTS pair DECORRELATED into one per-order
+    multi-aggregate: (distinct suppliers, distinct late suppliers,
+    min late suppkey).  Scale shape: lineitem collapses map-side to
+    distinct (order, supplier, max ship) triples (a supplier is late
+    iff their MAX ship date is late) before the ONE hash-join exchange
+    with orders; per-order flags then merge via mergeable Sum/Min
+    aggregates — no per-group Python, no second pass over lineitem;
+    the winner counts exchange ≤ |suppliers| rows and names come from
+    a predicate-pushdown dim read.  Reference analog: multi-flag page
+    disposition, ocr_skel/pipeline.py."""
+    from ray.data.aggregate import Max, Min, Sum as _Sum
+
+    _SENTINEL = np.int64(2**62)
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def per_pair(df: pd.DataFrame) -> pd.DataFrame:
+        ns = df["l_shipdate"].astype("datetime64[ns]").astype("int64")
+        return (df.assign(ship_ns=ns)
+                .groupby(["l_orderkey", "l_suppkey"], as_index=False)
+                .agg(ship_ns=("ship_ns", "max")))
+
+    pairs = (li.map_batches(per_pair, batch_format="pandas")
+             .groupby(["l_orderkey", "l_suppkey"])
+             .aggregate(Max("ship_ns", alias_name="ship_ns")))
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    from ..stages.util import cluster_cpus
+    nparts = max(8, min(cluster_cpus(), orders.count() // 50_000 + 1))
+    joined = pairs.join(orders, "inner", num_partitions=nparts,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def per_order_flags(df: pd.DataFrame) -> pd.DataFrame:
+        cutoff = (df["o_orderdate"].astype("datetime64[ns]")
+                  .astype("int64") + 60 * 86_400 * 10**9)
+        late = (df["ship_ns"] > cutoff).to_numpy()
+        supp = df["l_suppkey"].to_numpy()
+        return (pd.DataFrame({
+            "l_orderkey": df["l_orderkey"],
+            "ns": np.int64(1),
+            "nlate": late.astype(np.int64),
+            "late_s": np.where(late, supp, _SENTINEL)})
+            .groupby("l_orderkey", as_index=False)
+            .agg(ns=("ns", "sum"), nlate=("nlate", "sum"),
+                 late_s=("late_s", "min")))
+
+    flags = (joined.map_batches(per_order_flags, batch_format="pandas")
+             .groupby("l_orderkey")
+             .aggregate(_Sum("ns", alias_name="ns"),
+                        _Sum("nlate", alias_name="nlate"),
+                        Min("late_s", alias_name="late_s")))
+
+    def winners(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[(df["ns"] >= 2) & (df["nlate"] == 1)]
+        return (w.assign(numwait=np.int64(1))
+                .groupby("late_s", as_index=False)
+                .agg(numwait=("numwait", "sum")))
+
+    counts = _partial_groupby(flags, ["late_s"], winners,
+                              [("numwait", "i")]).to_pandas()
+    if counts.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "numwait": pd.Series(dtype="int64")})
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in", counts["late_s"].tolist())]
+    ).to_pandas()
+    out = counts.merge(sup, left_on="late_s", right_on="s_suppkey")
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (out[["s_suppkey", "s_name", "numwait"]]
+            .sort_values(["numwait", "s_suppkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def cheapest_part_per_brand(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 flavor: per-brand argmin (cheapest part, ties to the
+    lowest partkey) computed with ONE mergeable int64 ``Min`` — the
+    (price, key) pair packs into ``cents·10⁹ + partkey`` so the
+    lexicographic argmin IS the integer min: map-side partials shrink
+    each batch to ≤1 row per brand and the exchange carries single
+    int64s.  Contrast ``latest_event_per_user`` (grouped argmax via
+    per-group ``map_groups``): this encoding needs NO per-group Python
+    at any scale.  Valid while partkey < 10⁹ and price < 9.2·10⁷
+    (int64 headroom ~9.2·10¹⁸) — both hold for every TPC-H SF this
+    engine targets.  Reference analog: best-candidate glyph pick,
+    ocr_skel/recognizer_onnx.py."""
+    from ray.data.aggregate import Min
+
+    part = _t(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_retailprice"])
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["p_retailprice"].to_numpy() * 100).astype(np.int64)
+        enc = cents * np.int64(10**9) + df["p_partkey"].to_numpy()
+        return (pd.DataFrame({"p_brand": df["p_brand"], "enc": enc})
+                .groupby("p_brand", as_index=False).agg(enc=("enc", "min")))
+
+    out = (part.map_batches(encode, batch_format="pandas")
+           .groupby("p_brand").aggregate(Min("enc", alias_name="enc"))
+           .to_pandas())
+    enc = out["enc"].to_numpy(np.int64)
+    out["p_partkey"] = enc % np.int64(10**9)
+    out["p_retailprice"] = (enc // np.int64(10**9)) / 100.0
+    return (out[["p_brand", "p_partkey", "p_retailprice"]]
+            .sort_values("p_brand").reset_index(drop=True))
