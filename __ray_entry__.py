@@ -165,6 +165,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_spine": R.events_hourly_spine,
         "sole_late_suppliers": R.sole_late_suppliers,
         "cheapest_part_per_brand": R.cheapest_part_per_brand,
+        "event_transitions": R.event_transitions,
+        "important_parts": R.important_parts,
+        "nation_revenue_share": R.nation_revenue_share,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1243,6 +1246,53 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY p_retailprice, p_partkey) AS rn
               FROM part) t
             WHERE rn = 1 ORDER BY p_brand
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT event_type,
+                     LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id) AS next_type
+              FROM events)
+            SELECT event_type, next_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions,
+                   round(count(*) * 1.0
+                         / sum(count(*)) OVER (PARTITION BY event_type),
+                         6) AS p
+            FROM seq WHERE next_type IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "important_parts": """
+            WITH p AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                       AS rev_e4
+              FROM lineitem GROUP BY 1),
+            t AS (SELECT sum(rev_e4) AS total, count(*) AS n FROM p)
+            SELECT l_partkey,
+                   CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue
+            FROM p, t
+            WHERE rev_e4 * n * 10 > 11 * total
+            ORDER BY l_partkey
+        """,
+        "nation_revenue_share": """
+            WITH n AS (
+              SELECT r_name, n_name,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                       AS rev_e4
+              FROM lineitem
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+              JOIN region ON r_regionkey = n_regionkey
+              GROUP BY 1, 2)
+            SELECT r_name, n_name,
+                   CAST((rev_e4 + 50) // 100 AS DOUBLE) / 100 AS revenue,
+                   round(rev_e4 * 1.0
+                         / sum(rev_e4) OVER (PARTITION BY r_name),
+                         6) AS share
+            FROM n ORDER BY 1, 2
         """,
         "source_token_divergence": """
             WITH toks AS (

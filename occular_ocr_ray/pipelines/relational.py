@@ -3731,3 +3731,141 @@ def cheapest_part_per_brand(sf_dir: str) -> pd.DataFrame:
     out["p_retailprice"] = (enc // np.int64(10**9)) / 100.0
     return (out[["p_brand", "p_partkey", "p_retailprice"]]
             .sort_values("p_brand").reset_index(drop=True))
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: (type → next type) counts and per-source probabilities —
+    the LEAD window decorrelated into per-user adjacent pairs.  Scale
+    shape: the per-user co-locating exchange (the ``user_sessions``
+    ordering discipline: sort by (ts, event_id) inside the group) emits
+    ≤ |types|² rows per user, which a map-side-combined groupby then
+    collapses; probabilities are computed over the final |types|²
+    table driver-side with the exact-int ``n·1.0/total`` the oracle
+    uses.  Reference analog: glyph-bigram confusion rollup,
+    ocr_skel/metrics.py."""
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+
+    def trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cur = g["event_type"].to_numpy()
+        if len(cur) < 2:
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "next_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        return (pd.DataFrame({"event_type": cur[:-1],
+                              "next_type": cur[1:],
+                              "n": np.int64(1)})
+                .groupby(["event_type", "next_type"], as_index=False)
+                .agg(n=("n", "sum")))
+
+    per_user = ds.groupby("user_id").map_groups(trans,
+                                                batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["event_type", "next_type"], as_index=False)
+                .agg(n=("n", "sum")))
+
+    out = _partial_groupby(per_user, ["event_type", "next_type"],
+                           combine, [("n", "i")]).to_pandas()
+    tot = out.groupby("event_type")["n"].transform("sum")
+    out["p"] = _round_away(out["n"] * 1.0 / tot, 6)
+    out = out.rename(columns={"n": "n_transitions"})
+    out["n_transitions"] = out["n_transitions"].astype(np.int64)
+    return (out[["event_type", "next_type", "n_transitions", "p"]]
+            .sort_values(["event_type", "next_type"])
+            .reset_index(drop=True))
+
+
+def important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 flavor: parts whose revenue exceeds 1.1× the average
+    part's — an aggregate filtered against a GLOBAL scalar derived
+    from the aggregate itself.  Scale shape: one map-side-combined
+    per-part exchange in exact int64 ten-thousandths; the (total, n)
+    scalar pair comes from a second map-side-combined pass over the
+    |parts|-row AGGREGATE (never the fact table); membership is the
+    exact integer test ``rev·n·10 > 11·total`` — no float share, so
+    the boundary is parallelism-invariant (≈3% of parts at sf0.01,
+    never vacuous).  Reference analog: above-mean confidence gate,
+    ocr_skel/pipeline.py."""
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        rev_e4 = (
+            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1.0 - df["l_discount"].to_numpy()) * 100)
+            .astype(np.int64))
+        return (pd.DataFrame({"l_partkey": df["l_partkey"],
+                              "rev_e4": rev_e4})
+                .groupby("l_partkey", as_index=False)
+                .agg(rev_e4=("rev_e4", "sum")))
+
+    per_part = _partial_groupby(li, ["l_partkey"], partials,
+                                [("rev_e4", "i")])
+
+    def scalar_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"one": np.array([0], dtype=np.int64),
+                             "total": [df["rev_e4"].sum()],
+                             "np_": [np.int64(len(df))]})
+
+    t = _partial_groupby(per_part, ["one"], scalar_partials,
+                         [("total", "i"), ("np_", "i")]).to_pandas()
+    total, n_parts = int(t["total"].sum()), int(t["np_"].sum())
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["rev_e4"] * n_parts * 10 > 11 * total]
+
+    out = per_part.map_batches(keep, batch_format="pandas").to_pandas()
+    out["revenue"] = ((out["rev_e4"] + 50) // 100) / 100.0
+    out = out.drop(columns=["rev_e4"])
+    return (out[["l_partkey", "revenue"]]
+            .sort_values("l_partkey").reset_index(drop=True))
+
+
+def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total within a hierarchy: each supplier nation's
+    revenue share WITHIN its region (the SUM OVER (PARTITION BY
+    region) reporting window).  Scale shape: suppkey→(region, nation)
+    broadcast, ONE map-side-combined exchange of exact int64
+    ten-thousandths to the ≤ |nations| aggregate rows; the window
+    division happens driver-side on the dimension-sized table in the
+    oracle's exact ``rev·1.0/total`` operation order.  Reference
+    analog: per-page share of corpus bytes, ocr_skel/metrics.py."""
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"]
+                        ).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    n2 = {r.n_nationkey: (r.n_name,
+                          reg.set_index("r_regionkey")["r_name"]
+                          .at[r.n_regionkey])
+          for r in nat.itertuples()}
+    s2rn = {s: n2[n] for s, n in zip(sup["s_suppkey"].to_pylist(),
+                                     sup["s_nationkey"].to_pylist())}
+    ref = ray.put(s2rn)
+    li = _t(sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        rev_e4 = (
+            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1.0 - df["l_discount"].to_numpy()) * 100)
+            .astype(np.int64))
+        pairs = df["l_suppkey"].map(lookup)
+        return (pd.DataFrame({
+            "n_name": pairs.str[0], "r_name": pairs.str[1],
+            "rev_e4": rev_e4})
+            .groupby(["r_name", "n_name"], as_index=False)
+            .agg(rev_e4=("rev_e4", "sum")))
+
+    out = _partial_groupby(li, ["r_name", "n_name"], partials,
+                           [("rev_e4", "i")]).to_pandas()
+    region_tot = out.groupby("r_name")["rev_e4"].transform("sum")
+    out["revenue"] = ((out["rev_e4"] + 50) // 100) / 100.0
+    out["share"] = _round_away(out["rev_e4"] * 1.0 / region_tot, 6)
+    return (out[["r_name", "n_name", "revenue", "share"]]
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True))
