@@ -53,6 +53,24 @@ def _partial_groupby(ds, keys: list[str], build_partials, agg_specs: list[tuple[
     return partials.groupby(keys).aggregate(*aggs)
 
 
+def _ensure_schema(ds: rd.Dataset, fields: dict) -> rd.Dataset:
+    """Pin a schema onto zero-row blocks.  Ray's hash-shuffle
+    ``groupby().aggregate()`` emits SCHEMALESS empty blocks for empty
+    hash partitions (``PandasBlockSchema(names=[])``); feeding those to
+    ``Dataset.join`` crashes Acero with "No match … for key field
+    reference" because the join key column doesn't exist on the empty
+    side.  Any aggregate whose keyspace is sparser than the partition
+    count hits this — planted fixtures locally, skewed buckets at
+    scale — so every aggregate-fed join routes through here.  Non-empty
+    blocks pass through untouched (zero copy)."""
+    schema = pa.schema(fields)
+
+    def fix(b: pa.Table) -> pa.Table:
+        return schema.empty_table() if b.num_rows == 0 else b
+
+    return ds.map_batches(fix, batch_format="pyarrow")
+
+
 # --- TPC-H-flavoured ---------------------------------------------------
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1 shape: grouped sums/avgs over lineitem with map-side
@@ -144,15 +162,15 @@ def orders_join_priority(sf_dir: str) -> pd.DataFrame:
     (hash-partitioned on the key), then grouped revenue by priority."""
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    from ..stages.util import cluster_cpus
 
     # join parallelism scales with data, capped by the cluster: a fixed
     # count caps a big cluster's throughput, while cores-many partitions
     # over small inputs is pure shuffle-actor overhead.  ~50k rows per
     # partition; row count comes from parquet metadata (no scan).
-    nparts = max(8, min(cluster_cpus(), li.count() // 50_000 + 1))
-    joined = li.join(orders, "inner", num_partitions=nparts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..stages.joins import data_scaled_join
+    joined = data_scaled_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",),
+                              sizing_rows=li.count())
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(
@@ -3019,10 +3037,10 @@ def returned_item_report(sf_dir: str) -> pd.DataFrame:
     order_rev = _partial_groupby(li, ["l_orderkey"], per_order,
                                  [("revenue", "f")])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    from ..stages.util import cluster_cpus
-    nparts = max(8, min(cluster_cpus(), orders.count() // 50_000 + 1))
-    joined = order_rev.join(orders, "inner", num_partitions=nparts,
-                            on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..stages.joins import data_scaled_join
+    joined = data_scaled_join(order_rev, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",),
+                              sizing_rows=orders.count())
 
     def by_cust(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("o_custkey", as_index=False).agg(
@@ -3172,10 +3190,10 @@ def nation_trade_volume(sf_dir: str) -> pd.DataFrame:
     li = _t(sf_dir, "lineitem",
             ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    from ..stages.util import cluster_cpus
-    nparts = max(8, min(cluster_cpus(), li.count() // 50_000 + 1))
-    joined = li.join(orders, "inner", num_partitions=nparts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..stages.joins import data_scaled_join
+    joined = data_scaled_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",),
+                              sizing_rows=li.count())
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         s2n_, c2n_ = ray.get(ref)
@@ -3428,10 +3446,10 @@ def late_orders_by_priority(sf_dir: str) -> pd.DataFrame:
 
     orders = _t(sf_dir, "orders",
                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
-    from ..stages.util import cluster_cpus
-    nparts = max(8, min(cluster_cpus(), orders.count() // 50_000 + 1))
-    joined = latest.join(orders, "inner", num_partitions=nparts,
-                         on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..stages.joins import data_scaled_join
+    joined = data_scaled_join(latest, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",),
+                              sizing_rows=orders.count())
 
     def per_prio(df: pd.DataFrame) -> pd.DataFrame:
         cutoff = (df["o_orderdate"].astype("datetime64[ns]")
@@ -3509,10 +3527,10 @@ def big_ticket_orders(sf_dir: str) -> pd.DataFrame:
                           batch_format="pandas")
     orders = _t(sf_dir, "orders",
                 ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-    from ..stages.util import cluster_cpus
-    nparts = max(8, min(cluster_cpus(), orders.count() // 50_000 + 1))
-    joined = big.join(orders, "inner", num_partitions=nparts,
-                      on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..stages.joins import data_scaled_join
+    joined = data_scaled_join(big, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",),
+                              sizing_rows=orders.count())
     top = (joined.sort(["o_totalprice", "l_orderkey"],
                        descending=[True, False])
            .limit(50).to_pandas())
@@ -3651,10 +3669,10 @@ def sole_late_suppliers(sf_dir: str) -> pd.DataFrame:
              .aggregate(Max("ship_ns", alias_name="ship_ns")))
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
-    from ..stages.util import cluster_cpus
-    nparts = max(8, min(cluster_cpus(), orders.count() // 50_000 + 1))
-    joined = pairs.join(orders, "inner", num_partitions=nparts,
-                        on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..stages.joins import data_scaled_join
+    joined = data_scaled_join(pairs, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",),
+                              sizing_rows=orders.count())
 
     def per_order_flags(df: pd.DataFrame) -> pd.DataFrame:
         cutoff = (df["o_orderdate"].astype("datetime64[ns]")

@@ -437,3 +437,39 @@ def skew_aware_join(
         return joined.select(out_schema.names).cast(out_schema)
 
     return tagged.groupby("__bucket").map_groups(resolve, batch_format="pyarrow")
+
+
+def data_scaled_join(left, right, *, on: tuple, right_on: tuple,
+                     sizing_rows: int, join_type: str = "inner"):
+    """``Dataset.join`` with data-scaled partitioning that SURVIVES
+    sparse keyspaces.  Ray's hash-shuffle join aggregator builds each
+    partition with an ``ArrowBlockBuilder``; a partition that receives
+    ZERO rows builds a schemaless empty table and Acero then fails with
+    "No match … for key field reference" (ray 2.49
+    ``execution/operators/join.py`` ``finalize``).  Routing:
+
+    - ``sizing_rows ≥ 10k``: ``Dataset.join``, parallelism
+      ``max(8, min(cluster_cpus(), rows/50k + 1))`` — with ≥ ~1.2k
+      rows per partition a hash-empty partition needs a degenerate
+      key space (a handful of distinct keys; use
+      ``bucketed_hash_join`` explicitly for those);
+    - below 10k rows: ``bucketed_hash_join`` — its empty buckets are
+      benign (``map_groups`` never sees absent groups), which is
+      exactly the planted-fixture / tail-shard regime where hash-empty
+      partitions are routine and performance is irrelevant.  Same
+      inner-join column semantics (left + right non-key, key
+      coalesced).
+
+    ``sizing_rows`` comes from parquet metadata / a prior ``count()``
+    — no extra scan — and must bound the LARGER side."""
+    from .util import cluster_cpus
+
+    if sizing_rows < 10_000:
+        assert len(on) == 1 and len(right_on) == 1, (
+            "bucketed fallback supports single-key joins only")
+        return bucketed_hash_join(
+            left, right, left_on=on[0], right_on=right_on[0],
+            num_buckets=buckets_for(sizing_rows), join_type=join_type)
+    nparts = max(8, min(cluster_cpus(), sizing_rows // 50_000 + 1))
+    return left.join(right, join_type, num_partitions=nparts,
+                     on=on, right_on=right_on)

@@ -1853,3 +1853,65 @@ def test_top_revenue_suppliers_keeps_all_tied_winners(tmp_path):
     out = R.top_revenue_suppliers(str(tmp_path))
     assert out["s_suppkey"].tolist() == [1, 2]
     assert out["total_revenue"].tolist() == [100.0, 100.0]
+
+
+def test_cheapest_part_per_brand_tie_breaks_to_lowest_partkey(tmp_path):
+    """The int64 (cents·10⁹ + partkey) encoding must make price ties
+    resolve to the LOWEST partkey — the same total order the oracle's
+    row_number(ORDER BY p_retailprice, p_partkey) imposes (planted:
+    two parts at the same price, one cheaper part in another brand)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    part = pa.table({
+        "p_partkey": pa.array([7, 3, 9], pa.int64()),
+        "p_brand": pa.array(["B1", "B1", "B2"]),
+        # B1: partkeys 7 and 3 tie at 5.00 → keep 3; B2: only part 9
+        "p_retailprice": pa.array([5.0, 5.0, 2.5]),
+    })
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+
+    out = R.cheapest_part_per_brand(str(tmp_path))
+    assert out["p_brand"].tolist() == ["B1", "B2"]
+    assert out["p_partkey"].tolist() == [3, 9]
+    assert out["p_retailprice"].tolist() == [5.0, 2.5]
+
+
+def test_sole_late_suppliers_requires_multi_supplier_and_unique_late(tmp_path):
+    """Q21 semantics at the boundary: a single-supplier order never
+    counts (ns ≥ 2), nor does an order where BOTH suppliers were late
+    (nlate = 1) — only the sole-late supplier on the two-supplier
+    order survives."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    day = 86_400_000_000  # µs
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs epoch
+    ts = lambda d: pd.Timestamp((base + d * day) * 1000)
+    li = pa.table({
+        # order 1: suppliers 1 (late) + 2 (on time)  → supplier 1 counts
+        # order 2: supplier 3 alone, late            → ns=1, excluded
+        # order 3: suppliers 1 + 2, BOTH late        → nlate=2, excluded
+        "l_orderkey": pa.array([1, 1, 2, 3, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "l_shipdate": pa.array([ts(100), ts(5), ts(100),
+                                ts(100), ts(90)],
+                               pa.timestamp("us")),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([ts(0)] * 3, pa.timestamp("us")),
+    })
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    sup = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+    })
+    pq.write_table(sup, str(tmp_path / "supplier.parquet"))
+
+    out = R.sole_late_suppliers(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [1]
+    assert out["numwait"].tolist() == [1]
