@@ -3534,6 +3534,14 @@ def big_ticket_orders(sf_dir: str) -> pd.DataFrame:
     top = (joined.sort(["o_totalprice", "l_orderkey"],
                        descending=[True, False])
            .limit(50).to_pandas())
+    if "o_custkey" not in top.columns:  # all-empty blocks → schemaless
+        return pd.DataFrame({
+            "c_name": pd.Series(dtype="object"),
+            "c_custkey": pd.Series(dtype="int64"),
+            "o_orderkey": pd.Series(dtype="int64"),
+            "orderdate": pd.Series(dtype="object"),
+            "o_totalprice": pd.Series(dtype="float64"),
+            "total_qty": pd.Series(dtype="float64")})
 
     keys = top["o_custkey"].tolist()
     cust = pq.read_table(f"{sf_dir}/customer.parquet",

@@ -1915,3 +1915,35 @@ def test_sole_late_suppliers_requires_multi_supplier_and_unique_late(tmp_path):
     out = R.sole_late_suppliers(str(tmp_path))
     assert out["s_suppkey"].tolist() == [1]
     assert out["numwait"].tolist() == [1]
+
+
+def test_big_ticket_orders_empty_when_no_order_qualifies(tmp_path):
+    """HAVING-rejoin with an EMPTY qualifying set: the aggregate-fed
+    join (data_scaled_join bucketed fallback) must flow an empty,
+    fully-schema'd result through sort/limit/enrichment — not crash on
+    a schemaless empty partition (the ray 2.49 Dataset.join failure
+    mode) or on the empty dim filter."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    ts = pd.Timestamp("2024-01-01")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_quantity": pa.array([5.0, 7.0]),  # both far below 200
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 20], pa.int64()),
+        "o_orderdate": pa.array([ts, ts], pa.timestamp("us")),
+        "o_totalprice": pa.array([100.0, 200.0]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64()),
+        "c_name": pa.array(["c10", "c20"]),
+    }), str(tmp_path / "customer.parquet"))
+
+    out = R.big_ticket_orders(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_name", "c_custkey", "o_orderkey",
+                                 "orderdate", "o_totalprice", "total_qty"]
