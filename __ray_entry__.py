@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_late_suppliers": R.sole_late_suppliers,
         "cheapest_part_per_brand": R.cheapest_part_per_brand,
         "event_transitions": R.event_transitions,
+        "new_users_daily": R.new_users_daily,
         "important_parts": R.important_parts,
         "nation_revenue_share": R.nation_revenue_share,
         # events: cohort / funnel analytics
@@ -1261,6 +1262,16 @@ def oracle_sql() -> dict[str, str]:
                          6) AS p
             FROM seq WHERE next_type IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "new_users_daily": """
+            WITH f AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS d
+              FROM events GROUP BY 1)
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   CAST(count(*) AS BIGINT) AS n_new,
+                   CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT)
+                     AS cum_users
+            FROM f GROUP BY d ORDER BY day
         """,
         "important_parts": """
             WITH p AS (

@@ -3895,3 +3895,42 @@ def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
     out["share"] = _round_away(out["rev_e4"] * 1.0 / region_tot, 6)
     return (out[["r_name", "n_name", "revenue", "share"]]
             .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+
+
+def new_users_daily(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution + running total: each user's FIRST
+    active day (mergeable Min over the event stream — no per-user
+    ordering pass), new-user counts per day, and the cumulative user
+    count (SUM OVER ORDER BY on the aggregate).  Scale shape: map-side
+    ≤1-row-per-user Min partials; the per-day rollup and the running
+    sum operate on the ≤ |days| aggregate driver-side (the
+    ``orders_monthly_growth`` discipline).  Reference analog:
+    first-seen page registry, ocr_skel/pipeline.py."""
+    from ray.data.aggregate import Min
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        day_ns = (df["ts"].dt.floor("D").astype("datetime64[ns]")
+                  .astype("int64"))
+        return (pd.DataFrame({"user_id": df["user_id"],
+                              "day_ns": day_ns})
+                .groupby("user_id", as_index=False)
+                .agg(day_ns=("day_ns", "min")))
+
+    first = (ds.map_batches(per_user, batch_format="pandas")
+             .groupby("user_id")
+             .aggregate(Min("day_ns", alias_name="day_ns")))
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.assign(n_new=np.int64(1))
+                .groupby("day_ns", as_index=False)
+                .agg(n_new=("n_new", "sum")))
+
+    out = _partial_groupby(first, ["day_ns"], per_day,
+                           [("n_new", "i")]).to_pandas()
+    out = out.sort_values("day_ns").reset_index(drop=True)
+    out["day"] = pd.to_datetime(out["day_ns"]).dt.strftime("%Y-%m-%d")
+    out["n_new"] = out["n_new"].astype(np.int64)
+    out["cum_users"] = out["n_new"].cumsum().astype(np.int64)
+    return out[["day", "n_new", "cum_users"]]
