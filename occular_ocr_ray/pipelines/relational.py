@@ -45,10 +45,39 @@ def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _arrowize(build_partials):
+    """Run a pandas→pandas partial-builder under a PYARROW batch
+    format (arrow→pandas→arrow inside the UDF).  The declared batch
+    format decides which code path the DOWNSTREAM aggregate takes when
+    Ray fuses the map into the aggregate's map stage: a fused
+    pandas-format UDF drags the whole sort-aggregate through the
+    pandas path — measured ~13-25× slower on group-heavy exchanges
+    (sf0.1, 600k rows → 147k groups: AggregateReduce 559 core-s vs
+    22 core-s; wall 30 s vs 3.4 s) — while a pyarrow-format UDF keeps
+    the exchange Arrow end-to-end.  Empty frames: pyarrow infers
+    object→null on zero rows, which would clash with the string type
+    other blocks carry — coerce null columns to string (partials'
+    only object columns are strings)."""
+    def run(b: pa.Table) -> pa.Table:
+        out = build_partials(b.to_pandas())
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        if out.empty and any(pa.types.is_null(f.type) for f in tbl.schema):
+            fields = [pa.field(f.name, pa.string())
+                      if pa.types.is_null(f.type) else f
+                      for f in tbl.schema]
+            tbl = tbl.cast(pa.schema(fields))
+        return tbl
+
+    return run
+
+
 def _partial_groupby(ds, keys: list[str], build_partials, agg_specs: list[tuple[str, str]]):
     """Map-side combine: ``build_partials`` turns a pandas batch into
-    per-key partial rows; a small groupby+Sum merges the partials."""
-    partials = ds.map_batches(build_partials, batch_format="pandas")
+    per-key partial rows; a small groupby+Sum merges the partials.
+    Partials flow as ARROW blocks under a pyarrow batch format
+    (``_arrowize``) — fusion keeps the exchange on the fast path."""
+    partials = ds.map_batches(_arrowize(build_partials),
+                              batch_format="pyarrow")
     aggs = [Sum(col, alias_name=col) for col, _ in agg_specs]
     return partials.groupby(keys).aggregate(*aggs)
 
@@ -2151,7 +2180,7 @@ def latest_event_per_user(sf_dir: str) -> pd.DataFrame:
         g = g.sort_values(["last_ts", "last_event_id"], kind="mergesort")
         return g.iloc[[-1]]
 
-    out = (ds.map_batches(take_last, batch_format="pandas")
+    out = (ds.map_batches(_arrowize(take_last), batch_format="pyarrow")
            .groupby("user_id").map_groups(merge, batch_format="pandas")
            .to_pandas())
     out["last_event_id"] = out["last_event_id"].astype(np.int64)
@@ -3440,7 +3469,7 @@ def late_orders_by_priority(sf_dir: str) -> pd.DataFrame:
                 .groupby("l_orderkey", as_index=False)
                 .agg(ship_ns=("ship_ns", "max")))
 
-    latest = (li.map_batches(per_order, batch_format="pandas")
+    latest = (li.map_batches(_arrowize(per_order), batch_format="pyarrow")
               .groupby("l_orderkey")
               .aggregate(Max("ship_ns", alias_name="ship_ns")))
 
@@ -3672,7 +3701,7 @@ def sole_late_suppliers(sf_dir: str) -> pd.DataFrame:
                 .groupby(["l_orderkey", "l_suppkey"], as_index=False)
                 .agg(ship_ns=("ship_ns", "max")))
 
-    pairs = (li.map_batches(per_pair, batch_format="pandas")
+    pairs = (li.map_batches(_arrowize(per_pair), batch_format="pyarrow")
              .groupby(["l_orderkey", "l_suppkey"])
              .aggregate(Max("ship_ns", alias_name="ship_ns")))
 
@@ -3696,7 +3725,8 @@ def sole_late_suppliers(sf_dir: str) -> pd.DataFrame:
             .agg(ns=("ns", "sum"), nlate=("nlate", "sum"),
                  late_s=("late_s", "min")))
 
-    flags = (joined.map_batches(per_order_flags, batch_format="pandas")
+    flags = (joined.map_batches(_arrowize(per_order_flags),
+                                batch_format="pyarrow")
              .groupby("l_orderkey")
              .aggregate(_Sum("ns", alias_name="ns"),
                         _Sum("nlate", alias_name="nlate"),
@@ -3749,7 +3779,7 @@ def cheapest_part_per_brand(sf_dir: str) -> pd.DataFrame:
         return (pd.DataFrame({"p_brand": df["p_brand"], "enc": enc})
                 .groupby("p_brand", as_index=False).agg(enc=("enc", "min")))
 
-    out = (part.map_batches(encode, batch_format="pandas")
+    out = (part.map_batches(_arrowize(encode), batch_format="pyarrow")
            .groupby("p_brand").aggregate(Min("enc", alias_name="enc"))
            .to_pandas())
     enc = out["enc"].to_numpy(np.int64)
@@ -3918,7 +3948,7 @@ def new_users_daily(sf_dir: str) -> pd.DataFrame:
                 .groupby("user_id", as_index=False)
                 .agg(day_ns=("day_ns", "min")))
 
-    first = (ds.map_batches(per_user, batch_format="pandas")
+    first = (ds.map_batches(_arrowize(per_user), batch_format="pyarrow")
              .groupby("user_id")
              .aggregate(Min("day_ns", alias_name="day_ns")))
 
