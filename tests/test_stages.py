@@ -1947,3 +1947,49 @@ def test_big_ticket_orders_empty_when_no_order_qualifies(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["c_name", "c_custkey", "o_orderkey",
                                  "orderdate", "o_totalprice", "total_qty"]
+
+
+def test_arrowize_empty_batch_keeps_string_schema():
+    """_arrowize must coerce the object→null inference pyarrow applies
+    to ZERO-row frames back to string, so empty partial blocks don't
+    clash with the string-typed blocks other batches emit."""
+    from occular_ocr_ray.pipelines.relational import _arrowize
+
+    def build(df):
+        out = df[df["k"] == "nope"]  # empties every row
+        return out[["k", "v"]]
+
+    run = _arrowize(build)
+    tbl = run(pa.table({"k": pa.array(["a", "b"]),
+                        "v": pa.array([1, 2], pa.int64())}))
+    assert tbl.num_rows == 0
+    assert tbl.schema.field("k").type == pa.string()
+    assert tbl.schema.field("v").type == pa.int64()
+
+
+def test_data_scaled_join_both_routes_match_pandas_merge():
+    """The <10k bucketed route and the ≥10k Dataset.join route must
+    produce the same inner-join rows (column order aside)."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.joins import data_scaled_join
+
+    rng = np.random.default_rng(7)
+    n = 12_000
+    left = pd.DataFrame({"k": rng.integers(0, 3_000, n),
+                         "a": rng.integers(0, 100, n)})
+    right = pd.DataFrame({"rk": np.arange(2_500, dtype=np.int64),
+                          "b": rng.integers(0, 100, 2_500)})
+    expect = (left.merge(right, left_on="k", right_on="rk")
+              .drop(columns=["rk"])
+              .sort_values(["k", "a", "b"]).reset_index(drop=True))
+
+    for sizing in (n, 5_000):  # Dataset.join route, bucketed route
+        got = (data_scaled_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on=("k",), right_on=("rk",), sizing_rows=sizing)
+            .to_pandas())
+        got = (got[["k", "a", "b"]]
+               .sort_values(["k", "a", "b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), expect.astype("int64"))
