@@ -783,7 +783,7 @@ def ranked_orders(sf_dir: str) -> pd.DataFrame:
         return g[["c_mktsegment", "o_orderkey", "o_totalprice", "rnk"]]
 
     out = (
-        ds.map_batches(project_top3, batch_format="pandas")
+        ds.map_batches(_arrowize(project_top3), batch_format="pyarrow")
         .groupby("c_mktsegment")
         .map_groups(top3, batch_format="pandas")
         .to_pandas()
@@ -880,7 +880,7 @@ def order_price_quantiles(sf_dir: str, *,
         )
 
     out = (
-        ds.map_batches(project, batch_format="pandas")
+        ds.map_batches(_arrowize(project), batch_format="pyarrow")
         .groupby("c_mktsegment")
         .map_groups(quantiles_cont if interpolated else quantiles,
                     batch_format="pandas")
@@ -922,7 +922,7 @@ def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
         )
 
     df_tbl = (
-        ds.map_batches(df_partials, batch_format="pandas")
+        ds.map_batches(_arrowize(df_partials), batch_format="pyarrow")
         .groupby("w")
         .aggregate(Sum("df", alias_name="df"))
         .to_pandas()
@@ -1065,7 +1065,7 @@ def approx_price_quantiles(sf_dir: str) -> pd.DataFrame:
              "o_totalprice": df["o_totalprice"]}
         )
 
-    projected = ds.map_batches(project, batch_format="pandas")
+    projected = ds.map_batches(_arrowize(project), batch_format="pyarrow")
     return approx_quantiles(projected, "c_mktsegment", "o_totalprice")
 
 
@@ -1164,7 +1164,7 @@ def sampled_docs_per_lang(sf_dir: str) -> pd.DataFrame:
         return g[["lang", "doc_id", "rnk"]]
 
     out = (
-        ds.map_batches(add_hash, batch_format="pandas")
+        ds.map_batches(_arrowize(add_hash), batch_format="pyarrow")
         .groupby("lang")
         .map_groups(final, batch_format="pandas")
         .to_pandas()
@@ -1197,7 +1197,7 @@ def segment_priority_list(sf_dir: str) -> pd.DataFrame:
                              "priorities": [",".join(vals)]})
 
     out = (
-        ds.map_batches(pairs, batch_format="pandas")
+        ds.map_batches(_arrowize(pairs), batch_format="pyarrow")
         .groupby("c_mktsegment")
         .map_groups(agg, batch_format="pandas")
         .to_pandas()
@@ -1716,7 +1716,7 @@ def packing_plan(sf_dir: str, *, chunk_docs: int = 1024) -> pd.DataFrame:
         return out.astype({"bin": np.int64, "n_docs": np.int64,
                            "total_tokens": np.int64})
 
-    part = (triples.map_batches(key, batch_format="pandas")
+    part = (triples.map_batches(_arrowize(key), batch_format="pyarrow")
             .groupby("gk")
             .map_groups(pack, batch_format="pandas")
             .to_pandas())
@@ -1821,7 +1821,7 @@ def top_building_orders(sf_dir: str) -> pd.DataFrame:
         df = df.assign(revenue=_round_away(df["revenue"], 2))
         return df[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
 
-    out = (joined.map_batches(finalize, batch_format="pandas")
+    out = (joined.map_batches(_arrowize(finalize), batch_format="pyarrow")
            .sort(["revenue", "l_orderkey"], descending=[True, False])
            .limit(10).to_pandas())
     return out.reset_index(drop=True)
@@ -2038,7 +2038,7 @@ def _unigram_logp_ref(ds: rd.Dataset):
              "c": np.fromiter(counts.values(), dtype=np.int64)}
         )
 
-    cnt = (ds.map_batches(count_partials, batch_format="pandas")
+    cnt = (ds.map_batches(_arrowize(count_partials), batch_format="pyarrow")
            .groupby("w").aggregate(Sum("c", alias_name="c")).to_pandas())
     total = float(cnt["c"].sum())
     return ray.put(
@@ -2452,7 +2452,7 @@ def inverted_index_heads(sf_dir: str) -> pd.DataFrame:
         })
 
     out = (
-        ds.map_batches(pairs, batch_format="pandas")
+        ds.map_batches(_arrowize(pairs), batch_format="pyarrow")
         .groupby("w")
         .map_groups(finish, batch_format="pandas")
         .to_pandas()
@@ -2488,7 +2488,7 @@ def cohort_retention(sf_dir: str) -> pd.DataFrame:
             "week_offset": weeks - cohort,
         })
 
-    per = (ds.map_batches(to_weeks, batch_format="pandas")
+    per = (ds.map_batches(_arrowize(to_weeks), batch_format="pyarrow")
              .groupby("user_id").map_groups(per_user, batch_format="pandas"))
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
@@ -3432,7 +3432,7 @@ def brand_supplier_variety(sf_dir: str) -> pd.DataFrame:
                             "l_suppkey": df["l_suppkey"]})
         return out.dropna(subset=["p_brand"]).drop_duplicates()
 
-    distinct = (li.map_batches(local_pairs, batch_format="pandas")
+    distinct = (li.map_batches(_arrowize(local_pairs), batch_format="pyarrow")
                 .groupby(["p_brand", "l_suppkey"]).count())
 
     def per_brand(df: pd.DataFrame) -> pd.DataFrame:
