@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_part_per_brand": R.cheapest_part_per_brand,
         "event_transitions": R.event_transitions,
         "new_users_daily": R.new_users_daily,
+        "repeat_purchase_pairs": R.repeat_purchase_pairs,
         "important_parts": R.important_parts,
         "nation_revenue_share": R.nation_revenue_share,
         # events: cohort / funnel analytics
@@ -1272,6 +1273,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT)
                      AS cum_users
             FROM f GROUP BY d ORDER BY day
+        """,
+        "repeat_purchase_pairs": """
+            SELECT a.o_custkey,
+                   a.o_orderkey AS okey_lo,
+                   b.o_orderkey AS okey_hi,
+                   CAST(abs(date_diff('day', a.o_orderdate,
+                                      b.o_orderdate)) AS BIGINT)
+                     AS day_gap
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+             AND abs(date_diff('day', a.o_orderdate,
+                               b.o_orderdate)) <= 7
+            ORDER BY 1, 2, 3
         """,
         "important_parts": """
             WITH p AS (

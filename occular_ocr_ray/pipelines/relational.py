@@ -3964,3 +3964,49 @@ def new_users_daily(sf_dir: str) -> pd.DataFrame:
     out["n_new"] = out["n_new"].astype(np.int64)
     out["cum_users"] = out["n_new"].cumsum().astype(np.int64)
     return out[["day", "n_new", "cum_users"]]
+
+
+def repeat_purchase_pairs(sf_dir: str) -> pd.DataFrame:
+    """Windowed SELF-join (the only self-join in the surface): pairs of
+    orders by the SAME customer placed within 7 days of each other —
+    the inequality-predicate join class (θ-join on |Δdate| ≤ 7) that
+    hash joins can't express directly.  Scale shape: the equality part
+    of the predicate (same customer) co-locates via ONE per-customer
+    exchange; inside each (bounded, ≤ tens of rows) group a sorted
+    two-pointer sweep emits exactly the qualifying pairs — never the
+    O(n²) cross product of a naive θ-join, and nothing driver-side.
+    Reference analog: adjacent-page pairing, ocr_skel/pipeline.py."""
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def close_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        day = (g["o_orderdate"].dt.floor("D").astype("datetime64[ns]")
+               .astype("int64") // (86_400 * 10**9)).to_numpy()
+        okey = g["o_orderkey"].to_numpy(np.int64)
+        order = np.lexsort((okey, day))
+        day, okey = day[order], okey[order]
+        lo, hi, gap = [], [], []
+        j_hi = 0
+        for i in range(len(day)):
+            while j_hi < len(day) and day[j_hi] <= day[i] + 7:
+                j_hi += 1
+            for j in range(i + 1, j_hi):
+                a, b = okey[i], okey[j]
+                lo.append(min(a, b)); hi.append(max(a, b))
+                gap.append(day[j] - day[i])
+        return pd.DataFrame({
+            "o_custkey": np.full(len(lo), g["o_custkey"].iloc[0],
+                                 dtype=np.int64),
+            "okey_lo": np.array(lo, dtype=np.int64),
+            "okey_hi": np.array(hi, dtype=np.int64),
+            "day_gap": np.array(gap, dtype=np.int64)})
+
+    out = (ds.groupby("o_custkey")
+           .map_groups(close_pairs, batch_format="pandas").to_pandas())
+    if "o_custkey" not in out.columns:  # no qualifying pairs anywhere
+        out = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                            ["o_custkey", "okey_lo", "okey_hi",
+                             "day_gap"]})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["o_custkey", "okey_lo", "okey_hi"])
+            .reset_index(drop=True))
