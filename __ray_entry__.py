@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_purchase_pairs": R.repeat_purchase_pairs,
         "important_parts": R.important_parts,
         "nation_revenue_share": R.nation_revenue_share,
+        "customer_order_distribution": R.customer_order_distribution,
+        "disjunctive_part_revenue": R.disjunctive_part_revenue,
+        "sliding_distinct_users": R.sliding_distinct_users,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1273,6 +1276,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(count(*)) OVER (ORDER BY d) AS BIGINT)
                      AS cum_users
             FROM f GROUP BY d ORDER BY day
+        """,
+        "customer_order_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey,
+                         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                  FROM customer c LEFT JOIN orders o
+                    ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey) t
+            GROUP BY c_count ORDER BY c_count
+        """,
+        "disjunctive_part_revenue": """
+            SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                         + 50) // 100 AS DOUBLE) / 100 AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 16 AND 35
+                   AND l_quantity BETWEEN 10 AND 40)
+               OR (p_brand = 'Brand#5' AND p_size BETWEEN 30 AND 50
+                   AND l_quantity BETWEEN 25 AND 50)
+        """,
+        "sliding_distinct_users": """
+            WITH w AS (
+              SELECT user_id,
+                     make_timestamp(CAST((floor(epoch(ts)/1800)*1800
+                                          - 1800*k.k) * 1000000 AS BIGINT))
+                       AS wstart,
+                     ts
+              FROM events, (SELECT 0 AS k UNION ALL SELECT 1) k
+            )
+            SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM w
+            WHERE epoch(ts) - epoch(wstart) >= 0
+              AND epoch(ts) - epoch(wstart) < 3600
+            GROUP BY 1 ORDER BY 1
         """,
         "repeat_purchase_pairs": """
             SELECT a.o_custkey,

@@ -4010,3 +4010,153 @@ def repeat_purchase_pairs(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype(np.int64)
     return (out.sort_values(["o_custkey", "okey_lo", "okey_hi"])
             .reset_index(drop=True))
+
+
+def customer_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 flavor (custdist): the distribution of per-customer
+    order counts, INCLUDING the zero-order bucket the classic LEFT
+    JOIN surfaces.  Scale shape: orders collapse map-side to
+    (custkey, n) partials, so the only fact-sized exchange carries
+    ≤ |customers| rows; the histogram is a second exchange of
+    ≤ max(n) rows; the zero bucket needs no join at all — it is
+    |customer| (a zero-exchange count) minus the first exchange's
+    cardinality, exact under the o_custkey ∈ customer FK the input
+    contract guarantees (verified for the driver tables; the row is
+    emitted only when non-empty, matching the SQL group-by).
+    Reference analog: per-page region-count histogram,
+    ocr_skel/metrics.py."""
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+
+    def per_cust(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.assign(n_orders=np.int64(1))
+        return out.groupby("o_custkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"))
+
+    counts = _partial_groupby(orders, ["o_custkey"], per_cust,
+                              [("n_orders", "i")])
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"c_count": df["n_orders"].astype(np.int64),
+                            "custdist": np.int64(1)})
+        return out.groupby("c_count", as_index=False).agg(
+            custdist=("custdist", "sum"))
+
+    out = _partial_groupby(counts, ["c_count"], hist,
+                           [("custdist", "i")]).to_pandas()
+    n_customers = _t(sf_dir, "customer", ["c_custkey"]).count()
+    n_zero = n_customers - int(out["custdist"].sum())
+    if n_zero > 0:
+        out = pd.concat([out, pd.DataFrame({"c_count": [0],
+                                            "custdist": [n_zero]})],
+                        ignore_index=True)
+    for c in ("c_count", "custdist"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_count").reset_index(drop=True)
+
+
+def disjunctive_part_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 flavor: revenue under a DISJUNCTION of cross-table
+    (brand, size, quantity) predicate branches — the pushdown-hostile
+    filter shape where no single column prune can narrow the fact
+    scan.  Scale shape: the part side is pre-filtered to the three
+    named brands BEFORE broadcast (ray.put of sorted partkey + size +
+    brand-code arrays), so the broadcast is the predicate's own
+    selectivity, not |part|; lineitem then evaluates the whole
+    disjunction as one vectorized mask per batch (searchsorted lookup,
+    no join exchange) and the revenue sums as exact int64
+    ten-thousandths, so the single output row is parallelism-invariant.
+    Reference analog: multi-branch page-type dispatch,
+    ocr_skel/pipeline.py."""
+    BRANCHES = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+        ("Brand#1", 1, 15, 1, 20),
+        ("Brand#3", 16, 35, 10, 40),
+        ("Brand#5", 30, 50, 25, 50),
+    )
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    brands = [b[0] for b in BRANCHES]
+    mask = pc.is_in(part["p_brand"], value_set=pa.array(brands))
+    part = part.filter(mask)
+    pk = part["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    pk = pk[order]
+    psize = part["p_size"].to_numpy()[order]
+    pbrand = np.array([brands.index(b) for b in
+                       part["p_brand"].to_pylist()], dtype=np.int8)[order]
+    ref = ray.put((pk, psize, pbrand))
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        pk_, psize_, pbrand_ = ray.get(ref)
+        lpk = df["l_partkey"].to_numpy()
+        pos = np.searchsorted(pk_, lpk)
+        pos_c = np.minimum(pos, len(pk_) - 1) if len(pk_) else pos
+        hit = len(pk_) > 0
+        found = hit & (pk_[pos_c] == lpk) if hit else np.zeros(len(lpk), bool)
+        size = np.where(found, psize_[pos_c], -1)
+        brand = np.where(found, pbrand_[pos_c], -1)
+        qty = df["l_quantity"].to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for bi, (_, slo, shi, qlo, qhi) in enumerate(BRANCHES):
+            keep |= ((brand == bi) & (size >= slo) & (size <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        sub = df.loc[keep]
+        rev_e4 = (
+            np.rint(sub["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1.0 - sub["l_discount"].to_numpy()) * 100).astype(np.int64)
+        )
+        return pd.DataFrame({"one": np.array([0], dtype=np.int64),
+                             "rev_e4": [rev_e4.sum()],
+                             "n_items": [np.int64(keep.sum())]})
+
+    out = _partial_groupby(li, ["one"], partials,
+                           [("rev_e4", "i"), ("n_items", "i")]).to_pandas()
+    rev_e4 = int(out["rev_e4"].sum())
+    return pd.DataFrame({"revenue": [((rev_e4 + 50) // 100) / 100.0],
+                         "n_items": [np.int64(out["n_items"].sum())]})
+
+
+def sliding_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window exact COUNT DISTINCT (1 h window, 30 min slide):
+    distinct active users per window — the engagement metric a plain
+    sliding SUM (``events_sliding``) cannot give, because distinctness
+    does not merge by addition.  Scale shape: each batch emits its
+    LOCAL distinct (window, user) pairs (map-side dedup first, so hot
+    users collapse before the wire), ONE exchange merges the pairs
+    globally — the information-theoretic floor for exact distinct —
+    and the per-window counts then fold as ≤ |windows| partial rows
+    per batch.  Reference analog: distinct-glyph tally per page band,
+    ocr_skel/metrics.py."""
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+    WIN, SLIDE = 3600, 1800
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        epoch = df["ts"].astype("int64") // 1_000_000
+        parts = []
+        for k in range(WIN // SLIDE):
+            ws = (epoch // SLIDE) * SLIDE - SLIDE * k
+            sel = (epoch - ws >= 0) & (epoch - ws < WIN)
+            parts.append(pd.DataFrame({
+                "window_start": pd.to_datetime(
+                    ws[sel] * 1_000_000_000
+                ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "user_id": df.loc[sel, "user_id"].to_numpy()}))
+        out = pd.concat(parts, ignore_index=True).drop_duplicates()
+        out["one"] = np.int64(1)
+        return out
+
+    pair_ds = _partial_groupby(ds, ["window_start", "user_id"], pairs,
+                               [("one", "i")])
+
+    def per_window(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"window_start": df["window_start"],
+                            "n_users": np.int64(1)})
+        return out.groupby("window_start", as_index=False).agg(
+            n_users=("n_users", "sum"))
+
+    out = _partial_groupby(pair_ds, ["window_start"], per_window,
+                           [("n_users", "i")]).to_pandas()
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("window_start").reset_index(drop=True)

@@ -1993,3 +1993,92 @@ def test_data_scaled_join_both_routes_match_pandas_merge():
                .sort_values(["k", "a", "b"]).reset_index(drop=True))
         pd.testing.assert_frame_equal(
             got.astype("int64"), expect.astype("int64"))
+
+
+def test_customer_order_distribution_zero_bucket(tmp_path):
+    """Q13 semantics: customers with NO orders must surface as the
+    c_count=0 bucket (the LEFT-JOIN row a plain orders groupby drops;
+    planted: 3 of 5 customers orderless), and the bucket must be
+    absent when every customer ordered — matching the SQL GROUP BY,
+    which emits no empty groups."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2], pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+
+    out = R.customer_order_distribution(str(tmp_path))
+    assert out["c_count"].tolist() == [0, 1, 2]
+    assert out["custdist"].tolist() == [3, 1, 1]
+
+    # every customer orders → no zero row
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64())}),
+        str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 2], pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+    out = R.customer_order_distribution(str(tmp_path))
+    assert out["c_count"].tolist() == [1, 2]
+    assert out["custdist"].tolist() == [1, 1]
+
+
+def test_disjunctive_part_revenue_branch_boundaries(tmp_path):
+    """Q19 semantics at the predicate edges: quantity exactly at a
+    branch's inclusive bound counts, one past it does not; lineitems
+    whose part is a non-named brand — or missing from part entirely —
+    never match (exercises the broadcast lookup's found-mask)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10, 20, 30], pa.int64()),
+        "p_brand": pa.array(["Brand#1", "Brand#1", "Brand#9"]),
+        "p_size": pa.array([5, 40, 5], pa.int32()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        # part 10 (Brand#1, size 5): qty 20 → IN (boundary);
+        #                            qty 21 → OUT (past bound)
+        # part 20 (Brand#1, size 40): size outside 1-15 → OUT
+        # part 30 (Brand#9): brand not named → OUT
+        # part 99: absent from part → OUT (found-mask)
+        "l_partkey": pa.array([10, 10, 20, 30, 99], pa.int64()),
+        "l_quantity": pa.array([20.0, 21.0, 5.0, 5.0, 5.0]),
+        "l_extendedprice": pa.array([100.0] * 5),
+        "l_discount": pa.array([0.25] * 5),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    out = R.disjunctive_part_revenue(str(tmp_path))
+    assert out["n_items"].tolist() == [1]
+    assert out["revenue"].tolist() == [75.0]
+
+
+def test_sliding_distinct_users_dedupes_within_window(tmp_path):
+    """COUNT DISTINCT semantics the sliding SUM lacks: a user firing
+    twice inside one window counts once there, while a second user's
+    single event still counts — per window, across both overlapping
+    slides."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    pq.write_table(pa.table({
+        # user 1 at 10:00 and 10:10 (same two windows); user 2 at 10:10
+        "ts": pa.array([base, base + pd.Timedelta(minutes=10),
+                        base + pd.Timedelta(minutes=10)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+
+    out = R.sliding_distinct_users(str(tmp_path))
+    # both events fall in windows starting 09:30 and 10:00
+    assert out["window_start"].tolist() == [
+        "2024-01-01 09:30:00", "2024-01-01 10:00:00"]
+    assert out["n_users"].tolist() == [2, 2]
