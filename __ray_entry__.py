@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": R.customer_order_distribution,
         "disjunctive_part_revenue": R.disjunctive_part_revenue,
         "sliding_distinct_users": R.sliding_distinct_users,
+        "nation_market_share": R.nation_market_share,
+        "product_type_profit": R.product_type_profit,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1285,6 +1287,50 @@ def oracle_sql() -> dict[str, str]:
                     ON c.c_custkey = o.o_custkey
                   GROUP BY c.c_custkey) t
             GROUP BY c_count ORDER BY c_count
+        """,
+        "nation_market_share": """
+            WITH e AS (
+              SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                         AS rev_e4,
+                     (sn.n_name = 'NATION_7') AS is_target
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation cn ON cn.n_nationkey = c_nationkey
+              JOIN region ON r_regionkey = cn.n_regionkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+              WHERE p_type = 'STANDARD' AND r_name = 'ASIA')
+            SELECT o_year,
+                   -- exact-int numerator/denominator; ONE float64
+                   -- division, no rounding step → bit-identical to
+                   -- the Ray side under any partial-sum tree shape
+                   CAST(sum(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
+                        AS DOUBLE)
+                     / CAST(sum(rev_e4) AS DOUBLE) AS mkt_share
+            FROM e GROUP BY o_year ORDER BY o_year
+        """,
+        "product_type_profit": """
+            WITH e AS (
+              SELECT sn.n_name AS nation,
+                     CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                     - CAST(round(p_retailprice * 100) AS BIGINT)
+                       * CAST(round(l_quantity * 100) AS BIGINT)
+                         AS amount_e4
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN nation sn ON sn.n_nationkey = s_nationkey
+              JOIN orders ON o_orderkey = l_orderkey
+              WHERE p_name LIKE '%widget%')
+            SELECT nation, o_year,
+                   CAST(sum(amount_e4) AS DOUBLE) / 10000.0 AS sum_profit
+            FROM e GROUP BY nation, o_year ORDER BY nation, o_year
         """,
         "disjunctive_part_revenue": """
             SELECT CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)

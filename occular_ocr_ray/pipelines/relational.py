@@ -4160,3 +4160,193 @@ def sliding_distinct_users(sf_dir: str) -> pd.DataFrame:
                            [("n_users", "i")]).to_pandas()
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("window_start").reset_index(drop=True)
+
+
+def nation_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 flavor (national market share): among STANDARD-type
+    parts sold to customers in region ASIA, the share of each order
+    year's revenue supplied by NATION_7.  Scale shape: the part
+    qualifier, the in-region customer key set, and the target-nation
+    supplier key set are each broadcast ONCE via ``ray.put`` as sorted
+    int64 arrays (their own selectivity, not the dim's cardinality);
+    BOTH fact sides are pre-filtered map-side under the pyarrow batch
+    format, so the single fact-fact exchange (lineitem ⋈ orders,
+    ``data_scaled_join``) moves only qualifying rows; per-year
+    (num, den) partials are exact int64 ten-thousandths and the share
+    is ONE num/den division per year on exact integers — no rounding
+    step anywhere, hence parallelism-invariant to the bit.
+    Reference analog: per-class confidence share, ocr_skel/metrics.py."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    std_parts = np.sort(
+        part.filter(pc.equal(part["p_type"], "STANDARD"))
+        ["p_partkey"].to_numpy())
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia_rk = set(region.loc[region["r_name"] == "ASIA", "r_regionkey"])
+    asia_nk = set(nation.loc[nation["n_regionkey"].isin(asia_rk),
+                             "n_nationkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    asia_custs = np.sort(
+        cust.filter(pc.is_in(cust["c_nationkey"],
+                             value_set=pa.array(sorted(asia_nk))))
+        ["c_custkey"].to_numpy())
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    target_supps = np.sort(np.array(
+        [s for s, nk in zip(sup["s_suppkey"].to_pylist(),
+                            sup["s_nationkey"].to_pylist())
+         if n2name[nk] == "NATION_7"], dtype=np.int64))
+    ref = ray.put((std_parts, asia_custs, target_supps))
+
+    def _member(sorted_keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if len(sorted_keys) == 0:
+            return np.zeros(len(vals), dtype=bool)
+        pos = np.searchsorted(sorted_keys, vals)
+        pos_c = np.minimum(pos, len(sorted_keys) - 1)
+        return sorted_keys[pos_c] == vals
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        sp, _, _ = ray.get(ref)
+        keep = _member(sp, b["l_partkey"].to_numpy())
+        return b.filter(pa.array(keep))
+
+    def ord_pre(b: pa.Table) -> pa.Table:
+        _, ac, _ = ray.get(ref)
+        keep = _member(ac, b["o_custkey"].to_numpy())
+        return b.filter(pa.array(keep))
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey",
+             "l_extendedprice", "l_discount"]
+            ).map_batches(li_pre, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]
+                ).map_batches(ord_pre, batch_format="pyarrow")
+    from ..stages.joins import data_scaled_join
+    joined = data_scaled_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",),
+                              sizing_rows=li.count())
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, ts = ray.get(ref)
+        rev_e4 = (
+            np.rint(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            * np.rint((1.0 - df["l_discount"].to_numpy()) * 100)
+            .astype(np.int64))
+        is_t = _member(ts, df["l_suppkey"].to_numpy())
+        out = pd.DataFrame({
+            "o_year": pd.to_datetime(df["o_orderdate"]).dt.year
+            .to_numpy().astype(np.int64),
+            "num_e4": np.where(is_t, rev_e4, np.int64(0)),
+            "den_e4": rev_e4})
+        return out.groupby("o_year", as_index=False).agg(
+            num_e4=("num_e4", "sum"), den_e4=("den_e4", "sum"))
+
+    out = _partial_groupby(joined, ["o_year"], partials,
+                           [("num_e4", "i"), ("den_e4", "i")]).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                             "mkt_share": pd.Series(dtype="float64")})
+    out["o_year"] = out["o_year"].astype(np.int64)
+    # one exact-int division per year; both engines compute the same
+    # float64, so no rounding (and no tie hazard) is needed at all
+    out["mkt_share"] = (out["num_e4"].to_numpy().astype(np.float64)
+                        / out["den_e4"].to_numpy().astype(np.float64))
+    return (out[["o_year", "mkt_share"]].sort_values("o_year")
+            .reset_index(drop=True))
+
+
+def product_type_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 flavor (product-type profit): per (supplier nation,
+    order year) profit over parts whose name contains 'widget', with
+    profit = revenue − retail-cost proxy (the driver tables carry no
+    partsupp, so cost = p_retailprice × l_quantity stands in for
+    ps_supplycost × l_quantity — identical join/aggregate shape).
+    Scale shape: the widget partkey→retail-cents map and the
+    suppkey→nation map are broadcast once as sorted-key/value array
+    pairs; lineitem is filtered AND costed map-side under the pyarrow
+    format so only qualifying rows with their exact int64
+    ten-thousandths amount enter the single fact-fact exchange
+    (lineitem ⋈ orders for the year); the final dollars value is ONE
+    float division of the exact per-group sum — no rounding, hence
+    parallelism-invariant.  Reference analog: per-class cost rollup,
+    ocr_skel/metrics.py."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    wid = part.filter(pc.match_substring(part["p_name"], "widget"))
+    pk = wid["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    pk = pk[order]
+    pcost_c = np.rint(wid["p_retailprice"].to_numpy() * 100
+                      ).astype(np.int64)[order]
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy()
+    sorder = np.argsort(sk)
+    sk = sk[sorder]
+    snat = np.array([n2name[nk] for nk in sup["s_nationkey"].to_pylist()],
+                    dtype=object)[sorder]
+    ref = ray.put((pk, pcost_c, sk, snat))
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        pk_, pcost_, sk_, snat_ = ray.get(ref)
+        lpk = b["l_partkey"].to_numpy()
+        if len(pk_) == 0:
+            return pa.table({
+                "l_orderkey": pa.array([], pa.int64()),
+                "nation": pa.array([], pa.string()),
+                "amount_e4": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(pk_, lpk), len(pk_) - 1)
+        keep = pk_[pos] == lpk
+        sub_pos = pos[keep]
+        rev_e4 = (
+            np.rint(b["l_extendedprice"].to_numpy()[keep] * 100)
+            .astype(np.int64)
+            * np.rint((1.0 - b["l_discount"].to_numpy()[keep]) * 100)
+            .astype(np.int64))
+        cost_e4 = (pcost_[sub_pos]
+                   * np.rint(b["l_quantity"].to_numpy()[keep] * 100)
+                   .astype(np.int64))
+        spos = np.minimum(np.searchsorted(sk_, b["l_suppkey"].to_numpy()[keep]),
+                          max(len(sk_) - 1, 0))
+        return pa.table({
+            "l_orderkey": pa.array(b["l_orderkey"].to_numpy()[keep],
+                                   pa.int64()),
+            "nation": pa.array(snat_[spos], pa.string()),
+            "amount_e4": pa.array(rev_e4 - cost_e4, pa.int64())})
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"]
+            ).map_batches(li_pre, batch_format="pyarrow")
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    from ..stages.joins import data_scaled_join
+    joined = data_scaled_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",),
+                              sizing_rows=orders.count())
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "nation": df["nation"],
+            "o_year": pd.to_datetime(df["o_orderdate"]).dt.year
+            .to_numpy().astype(np.int64),
+            "amount_e4": df["amount_e4"].to_numpy()})
+        return out.groupby(["nation", "o_year"], as_index=False).agg(
+            amount_e4=("amount_e4", "sum"))
+
+    out = _partial_groupby(joined, ["nation", "o_year"], partials,
+                           [("amount_e4", "i")]).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"nation": pd.Series(dtype="object"),
+                             "o_year": pd.Series(dtype="int64"),
+                             "sum_profit": pd.Series(dtype="float64")})
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["sum_profit"] = (out["amount_e4"].to_numpy().astype(np.float64)
+                         / 10000.0)
+    return (out[["nation", "o_year", "sum_profit"]]
+            .sort_values(["nation", "o_year"]).reset_index(drop=True))
