@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": R.sliding_distinct_users,
         "nation_market_share": R.nation_market_share,
         "product_type_profit": R.product_type_profit,
+        "covered_purchasers": R.covered_purchasers,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1287,6 +1288,22 @@ def oracle_sql() -> dict[str, str]:
                     ON c.c_custkey = o.o_custkey
                   GROUP BY c.c_custkey) t
             GROUP BY c_count ORDER BY c_count
+        """,
+        "covered_purchasers": """
+            -- NAIVE universal quantification: one correlated EXISTS
+            -- probe per purchase row + bool_and per user.  The Ray
+            -- side runs the decorrelated min/min form; this compare
+            -- proves the decorrelation exact.
+            WITH cov AS (
+              SELECT p.user_id,
+                     EXISTS (SELECT 1 FROM events v
+                             WHERE v.user_id = p.user_id
+                               AND v.event_type = 'view'
+                               AND v.ts < p.ts) AS covered
+              FROM events p WHERE p.event_type = 'purchase')
+            SELECT user_id FROM cov
+            GROUP BY user_id HAVING bool_and(covered)
+            ORDER BY user_id
         """,
         "nation_market_share": """
             WITH e AS (

@@ -4350,3 +4350,46 @@ def product_type_profit(sf_dir: str) -> pd.DataFrame:
                          / 10000.0)
     return (out[["nation", "o_year", "sum_profit"]]
             .sort_values(["nation", "o_year"]).reset_index(drop=True))
+
+
+def covered_purchasers(sf_dir: str) -> pd.DataFrame:
+    """Universal quantification (relational division): users with at
+    least one purchase where EVERY purchase is preceded by an earlier
+    view.  The FOR-ALL decorrelates exactly to a min/min compare —
+    "every purchase has a prior view" ⇔ "some view precedes the
+    EARLIEST purchase" ⇔ min(view ts) < min(purchase ts) — so the
+    whole quantifier runs as map-side per-user (min_view, min_purch)
+    partials in exact int64 microseconds; the only exchange is the
+    small per-user partial groupby (two Mins), never the event rows,
+    and no correlated per-row probe exists anywhere.  The SQL oracle
+    is the NAIVE form (correlated EXISTS per purchase + bool_and), so
+    the driver compare proves the decorrelation.  Reference analog:
+    all-blocks-pass page gate, ocr_skel/pipeline.py."""
+    from ray.data.aggregate import Min
+
+    SENT = np.int64(2**62)  # "no event of this type in the batch"
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        ts = df["ts"].astype("int64")  # microsecond int64, exact
+        out = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "min_view_us": np.where(df["event_type"] == "view",
+                                    ts, SENT),
+            "min_purch_us": np.where(df["event_type"] == "purchase",
+                                     ts, SENT)})
+        return out.groupby("user_id", as_index=False).agg(
+            min_view_us=("min_view_us", "min"),
+            min_purch_us=("min_purch_us", "min"))
+
+    agg = (ds.map_batches(_arrowize(partials), batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Min("min_view_us", alias_name="min_view_us"),
+                      Min("min_purch_us", alias_name="min_purch_us"))
+           .to_pandas())
+    keep = ((agg["min_purch_us"] < SENT)
+            & (agg["min_view_us"] < agg["min_purch_us"]))
+    out = pd.DataFrame({"user_id": agg.loc[keep, "user_id"]
+                        .to_numpy().astype(np.int64)})
+    return out.sort_values("user_id").reset_index(drop=True)
