@@ -2082,3 +2082,140 @@ def test_sliding_distinct_users_dedupes_within_window(tmp_path):
     assert out["window_start"].tolist() == [
         "2024-01-01 09:30:00", "2024-01-01 10:00:00"]
     assert out["n_users"].tolist() == [2, 2]
+
+
+def test_covered_purchasers_strict_prior_view_semantics(tmp_path):
+    """FOR-ALL division at the boundary: a view at the SAME timestamp
+    as the earliest purchase does not cover it (strict <); users with
+    only views, or whose first purchase precedes every view, drop;
+    non-view/purchase event types are invisible to the quantifier."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    t = lambda s: pd.Timestamp(f"2024-01-01 00:00:{s:02d}")
+    ev = pa.table({
+        "event_id": pa.array(range(11), pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2, 3, 3, 4, 5, 5, 5, 6],
+                            pa.int64()),
+        "event_type": pa.array([
+            "view", "purchase",        # u1: covered → IN
+            "view", "purchase",        # u2: tie ts → OUT (strict <)
+            "purchase", "view",        # u3: view after → OUT
+            "view",                    # u4: no purchase → OUT
+            "view", "purchase", "purchase",  # u5: both covered → IN
+            "purchase",                # u6: no view at all → OUT
+        ]),
+        "ts": pa.array([t(1), t(2),
+                        t(5), t(5),
+                        t(3), t(4),
+                        t(1),
+                        t(1), t(2), t(9),
+                        t(1)], pa.timestamp("us")),
+    })
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+
+    out = R.covered_purchasers(str(tmp_path))
+    assert out["user_id"].tolist() == [1, 5]
+
+
+def _q8_q9_dims(tmp_path):
+    import pyarrow.parquet as pq
+
+    nation = pa.table({
+        "n_nationkey": pa.array([7, 8], pa.int64()),
+        "n_name": pa.array(["NATION_7", "NATION_8"]),
+        "n_regionkey": pa.array([2, 3], pa.int64()),
+    })
+    pq.write_table(nation, str(tmp_path / "nation.parquet"))
+    region = pa.table({
+        "r_regionkey": pa.array([2, 3], pa.int64()),
+        "r_name": pa.array(["ASIA", "EUROPE"]),
+    })
+    pq.write_table(region, str(tmp_path / "region.parquet"))
+    sup = pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_nationkey": pa.array([7, 8], pa.int64()),  # 1→target nation
+    })
+    pq.write_table(sup, str(tmp_path / "supplier.parquet"))
+
+
+def test_nation_market_share_zero_and_full_years(tmp_path):
+    """Q8 semantics: a year where the target nation supplied nothing
+    reads share 0.0 (not a dropped row), a year it supplied everything
+    reads exactly 1.0; non-STANDARD parts and non-ASIA customers never
+    enter the denominator."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    _q8_q9_dims(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10, 11], pa.int64()),
+        "p_type": pa.array(["STANDARD", "PROMO"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([100, 101], pa.int64()),
+        "c_nationkey": pa.array([7, 8], pa.int64()),  # 100 ASIA, 101 not
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([100, 100, 101, 100], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1995-06-01"),
+                                 pd.Timestamp("1996-06-01"),
+                                 pd.Timestamp("1995-07-01"),
+                                 pd.Timestamp("1995-08-01")],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        # 1995: order 1 via non-target supplier 2 (STANDARD, ASIA) and
+        #       order 4 via PROMO part (excluded) → share 0.0
+        # 1996: order 2 via target supplier 1 only → share 1.0
+        # order 3: non-ASIA customer → excluded entirely
+        "l_orderkey": pa.array([1, 4, 2, 3], pa.int64()),
+        "l_partkey": pa.array([10, 11, 10, 10], pa.int64()),
+        "l_suppkey": pa.array([2, 1, 1, 1], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 40.0, 80.0, 70.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.25, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    out = R.nation_market_share(str(tmp_path))
+    assert out["o_year"].tolist() == [1995, 1996]
+    assert out["mkt_share"].tolist() == [0.0, 1.0]
+
+
+def test_product_type_profit_signed_amounts(tmp_path):
+    """Q9 semantics: profit is SIGNED (cost can exceed revenue) and
+    exact — planted cents make the expected dollars representable;
+    non-widget parts never enter."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    _q8_q9_dims(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10, 11], pa.int64()),
+        "p_name": pa.array(["red widget", "blue bolt"]),
+        "p_retailprice": pa.array([30.0, 1.0]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array([pd.Timestamp("1995-06-01"),
+                                 pd.Timestamp("1996-06-01")],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        # 1995 / NATION_7 (supp 1): 100.00 − 30.00×2 = +40.00
+        # 1996 / NATION_8 (supp 2):  10.00 − 30.00×2 = −50.00
+        # non-widget part 11 row: excluded
+        "l_orderkey": pa.array([1, 2, 1], pa.int64()),
+        "l_partkey": pa.array([10, 10, 11], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1], pa.int64()),
+        "l_quantity": pa.array([2.0, 2.0, 5.0]),
+        "l_extendedprice": pa.array([100.0, 10.0, 99.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0]),
+    }), str(tmp_path / "lineitem.parquet"))
+
+    out = R.product_type_profit(str(tmp_path))
+    assert list(zip(out["nation"], out["o_year"], out["sum_profit"])) == [
+        ("NATION_7", 1995, 40.0), ("NATION_8", 1996, -50.0)]
