@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_market_share": R.nation_market_share,
         "product_type_profit": R.product_type_profit,
         "covered_purchasers": R.covered_purchasers,
+        "longest_daily_streak": R.longest_daily_streak,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1288,6 +1289,24 @@ def oracle_sql() -> dict[str, str]:
                     ON c.c_custkey = o.o_custkey
                   GROUP BY c.c_custkey) t
             GROUP BY c_count ORDER BY c_count
+        """,
+        "longest_daily_streak": """
+            -- classic gaps-and-islands: day − row_number() is constant
+            -- within a consecutive run; the Ray side computes the same
+            -- islands via a coarse-bucketed sorted shift-compare
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+              FROM events),
+            g AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS grp
+              FROM d),
+            i AS (SELECT user_id, grp, count(*) AS cnt
+                  FROM g GROUP BY user_id, grp)
+            SELECT user_id, CAST(max(cnt) AS BIGINT) AS streak_days
+            FROM i GROUP BY user_id ORDER BY user_id
         """,
         "covered_purchasers": """
             -- NAIVE universal quantification: one correlated EXISTS

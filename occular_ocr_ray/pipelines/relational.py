@@ -4393,3 +4393,55 @@ def covered_purchasers(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"user_id": agg.loc[keep, "user_id"]
                         .to_numpy().astype(np.int64)})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def longest_daily_streak(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: each user's longest run of CONSECUTIVE active
+    days.  Scale shape: events collapse map-side to distinct
+    (user, epoch-day) pairs, so the ONE exchange moves at most the
+    per-batch-distinct pair count; island detection inside each coarse
+    user bucket (user % 199) is the vectorized day − rank trick — one
+    sorted shift-compare + bincount per bucket, NO per-user Python
+    (the span-dedup r5 coarse-bucket discipline), so callable overhead
+    is bounded by the bucket count, not |users|.  Oracle is the
+    classic row_number() islands SQL, proving the trick.  Reference
+    analog: run-length merge of adjacent kept blocks,
+    ocr_skel/pipeline.py."""
+    COARSE = np.int64(199)
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 86_400_000_000)
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                            "day": day.to_numpy()}).drop_duplicates()
+        out["bucket"] = out["user_id"].to_numpy() % COARSE
+        return out
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).sort_values(
+            ["user_id", "day"])
+        u = g["user_id"].to_numpy()
+        d = g["day"].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "streak_days": pd.Series(dtype="int64")})
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        isl = np.cumsum(new) - 1
+        cnt = np.bincount(isl).astype(np.int64)
+        iu = u[np.flatnonzero(new)]
+        out = pd.DataFrame({"user_id": iu, "streak_days": cnt})
+        return out.groupby("user_id", as_index=False).agg(
+            streak_days=("streak_days", "max"))
+
+    out = (ds.map_batches(_arrowize(pairs), batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(islands, batch_format="pandas")
+           .to_pandas())
+    if "user_id" not in out.columns:
+        out = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                            "streak_days": pd.Series(dtype="int64")})
+    for c in ("user_id", "streak_days"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)

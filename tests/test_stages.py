@@ -2219,3 +2219,32 @@ def test_product_type_profit_signed_amounts(tmp_path):
     out = R.product_type_profit(str(tmp_path))
     assert list(zip(out["nation"], out["o_year"], out["sum_profit"])) == [
         ("NATION_7", 1995, 40.0), ("NATION_8", 1996, -50.0)]
+
+
+def test_longest_daily_streak_islands(tmp_path):
+    """Gaps-and-islands boundaries: duplicate events on one day count
+    once; a 1-day gap breaks the run; day boundaries are UTC epoch
+    days (23:59 → 00:01 on adjacent days IS consecutive)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    T = pd.Timestamp
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([
+            # u1: days 1,1(dup),2,3 then gap to 5 → streak 3
+            T("2024-01-01 10:00"), T("2024-01-01 23:59"),
+            T("2024-01-02 00:01"), T("2024-01-03 12:00"),
+            T("2024-01-05 09:00"),
+            # u2: days 7 and 9 → streak 1
+            T("2024-01-07"), T("2024-01-09"),
+            # u3: one event → streak 1
+            T("2024-02-01"),
+        ], pa.timestamp("us")),
+    })
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+
+    out = R.longest_daily_streak(str(tmp_path))
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["streak_days"].tolist() == [3, 1, 1]
