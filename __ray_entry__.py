@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "product_type_profit": R.product_type_profit,
         "covered_purchasers": R.covered_purchasers,
         "longest_daily_streak": R.longest_daily_streak,
+        "events_trailing_hour_sum": R.events_trailing_hour_sum,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1289,6 +1290,17 @@ def oracle_sql() -> dict[str, str]:
                     ON c.c_custkey = o.o_custkey
                   GROUP BY c.c_custkey) t
             GROUP BY c_count ORDER BY c_count
+        """,
+        "events_trailing_hour_sum": """
+            -- peer-inclusive time-RANGE frame in exact cents; ONE
+            -- float division mirrors the Ray side bit-for-bit
+            SELECT event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW)
+                        AS DOUBLE) / 100.0 AS trailing_sum
+            FROM events ORDER BY event_id
         """,
         "longest_daily_streak": """
             -- classic gaps-and-islands: day − row_number() is constant

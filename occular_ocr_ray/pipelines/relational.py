@@ -4445,3 +4445,39 @@ def longest_daily_streak(sf_dir: str) -> pd.DataFrame:
     for c in ("user_id", "streak_days"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def events_trailing_hour_sum(sf_dir: str) -> pd.DataFrame:
+    """Time-RANGE window frame (RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+    AND CURRENT ROW): per event, the sum of the SAME user's ``value``
+    over the trailing hour — the variable-width, PEER-INCLUSIVE frame
+    semantics the ROWS-based ``events_moving_avg`` doesn't cover (all
+    rows sharing the current timestamp belong to the frame, wherever
+    they sit in row order).  Scale shape: one user-keyed exchange
+    (the ``user_sessions`` discipline); inside each group the frame is
+    two vectorized ``searchsorted`` probes against an exact int64-cents
+    prefix sum — O(n log n) per user, no quadratic rescan, no float
+    drift (ONE float division at the end, mirrored by the oracle).
+    Reference analog: sliding-confidence smoothing window,
+    ocr_skel/metrics.py."""
+    HOUR_US = np.int64(3_600_000_000)
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        csum = np.concatenate(([np.int64(0)], np.cumsum(cents)))
+        lo = np.searchsorted(ts, ts - HOUR_US, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "trailing_sum": (csum[hi] - csum[lo]) / 100.0})
+
+    out = (ds.groupby("user_id")
+           .map_groups(win, batch_format="pandas").to_pandas())
+    if "event_id" not in out.columns:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "trailing_sum": pd.Series(dtype="float64")})
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)

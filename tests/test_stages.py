@@ -2248,3 +2248,35 @@ def test_longest_daily_streak_islands(tmp_path):
     out = R.longest_daily_streak(str(tmp_path))
     assert out["user_id"].tolist() == [1, 2, 3]
     assert out["streak_days"].tolist() == [3, 1, 1]
+
+
+def test_events_trailing_hour_sum_peer_and_boundary(tmp_path):
+    """RANGE-frame semantics: rows at the SAME timestamp are peers —
+    each sees the other's value — and an event exactly 1h earlier is
+    INSIDE the frame (inclusive boundary) while 1h+1µs is out."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    T = pd.Timestamp
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([
+            T("2024-01-01 10:00:00"),           # e1
+            T("2024-01-01 11:00:00"),           # e2: e1 exactly 1h back → in
+            T("2024-01-01 11:00:00"),           # e3: peer of e2
+            T("2024-01-01 12:00:00.000001"),    # e4: e2/e3 out by 1µs... 
+            T("2024-01-01 10:30:00"),           # e5: other user
+        ], pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+    })
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+
+    out = R.events_trailing_hour_sum(str(tmp_path))
+    got = dict(zip(out["event_id"], out["trailing_sum"]))
+    assert got[1] == 1.0          # alone
+    assert got[2] == 7.0          # 1 + 2 + 4 (peer e3 included, e1 at -1h in)
+    assert got[3] == 7.0          # identical frame to e2
+    assert got[4] == 8.0          # e2/e3 fell out by 1 µs
+    assert got[5] == 16.0         # user isolation
