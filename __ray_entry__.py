@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covered_purchasers": R.covered_purchasers,
         "longest_daily_streak": R.longest_daily_streak,
         "events_trailing_hour_sum": R.events_trailing_hour_sum,
+        "surplus_suppliers": R.surplus_suppliers,
+        "acctbal_percent_rank": R.acctbal_percent_rank,
+        "copurchase_triangles": R.copurchase_triangles,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1319,6 +1322,43 @@ def oracle_sql() -> dict[str, str]:
                   FROM g GROUP BY user_id, grp)
             SELECT user_id, CAST(max(cnt) AS BIGINT) AS streak_days
             FROM i GROUP BY user_id ORDER BY user_id
+        """,
+        "surplus_suppliers": """
+            -- NESTED form: the Ray side runs the decorrelated
+            -- two-granularity aggregation; this compare proves it
+            WITH ps AS (
+              SELECT l_partkey AS p, l_suppkey AS s,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+              FROM lineitem GROUP BY 1, 2),
+            tot AS (SELECT p, sum(q) AS tq FROM ps GROUP BY p),
+            dom AS (SELECT ps.s, CAST(count(*) AS BIGINT) AS n_dominated
+                    FROM ps JOIN tot USING (p)
+                    WHERE 8 * ps.q > tot.tq GROUP BY ps.s)
+            SELECT s_suppkey, s_name, n_dominated
+            FROM supplier JOIN dom ON s_suppkey = dom.s
+            ORDER BY s_suppkey
+        """,
+        "acctbal_percent_rank": """
+            -- the engine computes this WITHOUT a per-segment global
+            -- sort (two-phase range-bucket ranks); ties = min-rank,
+            -- pr = (rank-1)/(n-1) is the one mirrored float division
+            SELECT c_custkey, c_mktsegment,
+                   percent_rank() OVER (
+                     PARTITION BY c_mktsegment
+                     ORDER BY CAST(round(c_acctbal * 100) AS BIGINT)) AS pr
+            FROM customer ORDER BY c_custkey
+        """,
+        "copurchase_triangles": """
+            -- naive 3-way self-join; the Ray side runs the
+            -- node-iterator wedge algorithm over hash-bucketed edges
+            WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p)
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   CAST(count(*) AS BIGINT) AS triangles
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
         """,
         "covered_purchasers": """
             -- NAIVE universal quantification: one correlated EXISTS

@@ -4481,3 +4481,303 @@ def events_trailing_hour_sum(sf_dir: str) -> pd.DataFrame:
                              "trailing_sum": pd.Series(dtype="float64")})
     out["event_id"] = out["event_id"].astype(np.int64)
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def surplus_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20-flavour nested-IN-with-aggregate-threshold: suppliers
+    that DOMINATE at least one part — shipped more than an EIGHTH of
+    that part's total shipped quantity (each part has ~40+ suppliers,
+    so 1/8 is ~5x the fair share).  The correlated nested aggregate
+    decorrelates to TWO granularities of the SAME fact: per
+    (part, supplier) quantity sums (map-side partials, the only
+    fact-table exchange), then per-part totals and the 8·q_ps > q_p
+    compare computed INSIDE coarse part buckets (part % 199, one
+    vectorized transform per bucket — the pair table is already
+    reduced, and no per-part Python runs).  Dominant suppliers are a
+    small set, so names attach via one broadcast lookup over the
+    supplier dimension — no shuffle join.  Quantities compare in exact
+    integer hundredths (no float threshold drift).  Reference analog:
+    block-share vs page-total gate, ocr_skel/pipeline.py:96-118."""
+    COARSE = np.int64(199)
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "p": df["l_partkey"].to_numpy(),
+            "s": df["l_suppkey"].to_numpy(),
+            "q": np.rint(df["l_quantity"].to_numpy() * 100).astype(np.int64),
+        })
+        out = out.groupby(["p", "s"], as_index=False).agg(q=("q", "sum"))
+        out["bucket"] = out["p"].to_numpy() % COARSE
+        return out
+
+    def dominants(g: pd.DataFrame) -> pd.DataFrame:
+        # fine (p, s) groups may span input blocks: re-reduce, then one
+        # vectorized per-part transform — no per-part callables
+        g = g.groupby(["p", "s"], as_index=False).agg(q=("q", "sum"))
+        tot = g.groupby("p")["q"].transform("sum").to_numpy()
+        keep = 8 * g["q"].to_numpy() > tot
+        out = g.loc[keep, ["s"]].groupby("s", as_index=False).size()
+        return out.rename(columns={"size": "n_dominated"})
+
+    dom = (ds.map_batches(_arrowize(partials), batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(dominants, batch_format="pandas")
+           .groupby("s")
+           .aggregate(Sum("n_dominated", alias_name="n_dominated"))
+           .to_pandas())  # bounded by |supplier|
+    if "s" not in dom.columns:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "s_name": pd.Series(dtype="object"),
+                             "n_dominated": pd.Series(dtype="int64")})
+    dom_ref = ray.put(dict(zip(dom["s"].astype(np.int64),
+                               dom["n_dominated"].astype(np.int64))))
+
+    def attach(b: pa.Table) -> pa.Table:
+        lut = pd.Series(ray.get(dom_ref))
+        n = lut.reindex(b.column("s_suppkey").to_numpy()).to_numpy()
+        mask = ~np.isnan(n)
+        kept = b.filter(pa.array(mask))
+        return kept.append_column(
+            "n_dominated", pa.array(n[mask].astype(np.int64), pa.int64()))
+
+    out = (_t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+           .map_batches(attach, batch_format="pyarrow").to_pandas())
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["n_dominated"] = out["n_dominated"].astype(np.int64)
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def acctbal_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK() OVER (PARTITION BY segment ORDER BY acctbal)
+    without a global per-segment sort: the classic distribution window
+    decomposed into (1) one fact exchange that moves only DISTINCT
+    (segment, cents) value counts, (2) a two-phase rank — per
+    (segment, value-range-bucket) subtotals reduce to a tiny driver
+    table whose running sum gives each range bucket its global rank
+    OFFSET (the ``packing_plan`` prefix-sum discipline), local ranks
+    are then vectorized inside each range bucket — and (3) a bucketed
+    (segment, cents)-keyed rejoin of ranks onto customers (union-tag +
+    coarse-bucket merge; no broadcast of the value table, which at
+    corpus scale can approach |rows|).  Ties use min-rank (SQL
+    percent_rank); pr = (rank−1)/(n−1) is the single mirrored float
+    division.  Reference analog: confidence-percentile normalization,
+    ocr_skel/metrics.py."""
+    COARSE = np.int64(199)
+    RSHIFT = np.int64(10)  # value-range buckets of 1024 cents ($10.24)
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+
+    def vc_partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "seg": df["c_mktsegment"].to_numpy(),
+            "cents": np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64),
+        })
+        out = out.groupby(["seg", "cents"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    vc = (ds.map_batches(_arrowize(vc_partials), batch_format="pyarrow")
+          .groupby(["seg", "cents"])
+          .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("seg", pa.string()), ("cents", pa.int64()),
+                              ("cnt", pa.int64()),
+                              ("rb", pa.int64())]).empty_table()
+        rb = b.column("cents").to_numpy() >> RSHIFT  # arithmetic: floor
+        return b.append_column("rb", pa.array(rb, pa.int64()))
+
+    vc = vc.map_batches(add_rb, batch_format="pyarrow")
+
+    # phase 1: per (seg, range-bucket) subtotals → tiny driver table →
+    # running-sum offsets + per-segment totals, broadcast once
+    sub = (vc.groupby(["seg", "rb"])
+           .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    sub = sub.sort_values(["seg", "rb"], kind="mergesort")
+    grp = sub.groupby("seg")["cnt"]
+    sub["offset"] = grp.cumsum() - sub["cnt"]
+    seg_n = sub.groupby("seg")["cnt"].sum().to_dict()
+    off_ref = ray.put((
+        {(s, r): o for s, r, o in zip(sub["seg"], sub["rb"], sub["offset"])},
+        seg_n))
+
+    # phase 2: local ranks inside each (seg, rb) group + global offset
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        offs, totals = ray.get(off_ref)
+        g = (g.groupby(["seg", "cents"], as_index=False)
+             .agg(cnt=("cnt", "sum"), rb=("rb", "first"))
+             .sort_values(["seg", "rb", "cents"], kind="mergesort"))
+        cnt = g["cnt"].to_numpy()
+        # prefix count of rows below, restarting at each (seg, rb) run
+        key = (g["seg"].astype(str) + "\x00" + g["rb"].astype(str)).to_numpy()
+        csum = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        starts = np.ones(len(g), bool)
+        starts[1:] = key[1:] != key[:-1]
+        base = np.repeat(csum[starts], np.diff(
+            np.append(np.flatnonzero(starts), len(g))))
+        local = csum - base
+        off = np.array([offs.get((s, r), 0)
+                        for s, r in zip(g["seg"], g["rb"])], dtype=np.int64)
+        n = np.array([totals[s] for s in g["seg"]], dtype=np.int64)
+        rank = off + local + 1
+        pr = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame({"seg": g["seg"].to_numpy(),
+                             "cents": g["cents"].to_numpy(),
+                             "pr": pr})
+
+    rk = (vc.groupby(["seg", "rb"])
+          .map_groups(ranks, batch_format="pandas"))
+
+    # phase 3: bucketed (seg, cents) rejoin onto customers — union-tag +
+    # coarse merge, never a broadcast of the distinct-value table
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100).astype(np.int64)
+        return pd.DataFrame({
+            "seg": df["c_mktsegment"].to_numpy(), "cents": cents,
+            "c_custkey": df["c_custkey"].to_numpy().astype(np.int64),
+            "pr": np.nan, "is_rank": np.int64(0),
+            "jb": ((cents % COARSE) + COARSE) % COARSE})
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        cents = df["cents"].to_numpy().astype(np.int64)
+        return pd.DataFrame({
+            "seg": df["seg"].to_numpy(), "cents": cents,
+            "c_custkey": np.int64(-1), "pr": df["pr"].to_numpy(),
+            "is_rank": np.int64(1),
+            "jb": ((cents % COARSE) + COARSE) % COARSE})
+
+    tagged = (ds.map_batches(_arrowize(tag_cust), batch_format="pyarrow")
+              .union(rk.map_batches(_arrowize(tag_rank),
+                                    batch_format="pyarrow")))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["is_rank"] == 0]
+        right = g[g["is_rank"] == 1][["seg", "cents", "pr"]]
+        out = left[["seg", "cents", "c_custkey"]].merge(
+            right, on=["seg", "cents"], how="left")
+        return pd.DataFrame({
+            "c_custkey": out["c_custkey"].to_numpy().astype(np.int64),
+            "c_mktsegment": out["seg"].to_numpy(),
+            "pr": out["pr"].to_numpy()})
+
+    out = (tagged.groupby("jb").map_groups(merge, batch_format="pandas")
+           .to_pandas())
+    if "c_custkey" not in out.columns:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_mktsegment": pd.Series(dtype="object"),
+                             "pr": pd.Series(dtype="float64")})
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def _pairs_within_runs(keys: np.ndarray, vals: np.ndarray):
+    """All (vals[i], vals[j]) with i < j inside each run of equal
+    ``keys`` — fully vectorized (no per-run Python).  ``keys`` must be
+    sorted; ``vals`` strictly ascending within each run, so the output
+    pairs are already (lo, hi)-oriented.  Construction: element k of a
+    run contributes k pairs as the RIGHT member, paired with the k
+    preceding elements — repeat/cumsum index arithmetic only."""
+    n = len(keys)
+    if n == 0:
+        return (np.empty(0, dtype=vals.dtype),) * 2
+    starts = np.ones(n, dtype=bool)
+    starts[1:] = keys[1:] != keys[:-1]
+    run_start = np.repeat(np.flatnonzero(starts),
+                          np.diff(np.append(np.flatnonzero(starts), n)))
+    loc = np.arange(n) - run_start          # local index k within run
+    total = int(loc.sum())
+    if total == 0:
+        return (np.empty(0, dtype=vals.dtype),) * 2
+    joff = np.repeat(np.concatenate(([0], np.cumsum(loc)))[:-1], loc)
+    i_idx = np.arange(total) - joff + np.repeat(run_start, loc)
+    j_idx = np.repeat(np.arange(n), loc)
+    return vals[i_idx], vals[j_idx]
+
+
+def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    (parts are vertices; an edge joins two parts that co-occur in at
+    least one order).  The classic web-scale pattern: (1) edge
+    generation — distinct (order, part) pairs, all-pairs-within-order
+    via the vectorized run-pair kernel (`_pairs_within_runs`, zero
+    per-order Python), deduped by edge-key hash buckets; (2) wedge
+    generation — edges grouped by their LOW endpoint emit neighbor
+    pairs (ascending orientation u<v<w bounds wedge count by
+    Σ C(outdeg,2), the node-iterator algorithm); (3) triangle closure —
+    wedges semi-joined against the edge set in coarse key buckets,
+    partial counts summed.  Every stage is a keyed exchange of reduced
+    pairs; the fact table is read once.  The edge set (the one reused
+    intermediate) is materialized — it is the REDUCED distinct-pair
+    table, orders of magnitude below the fact.  Reference analog:
+    pairwise block-overlap graph in the merge pass,
+    ocr_skel/pipeline.py:119-142."""
+    COARSE = np.int64(199)
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def op_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"o": df["l_orderkey"].to_numpy(),
+                            "p": df["l_partkey"].to_numpy()}).drop_duplicates()
+        out["bucket"] = out["o"].to_numpy() % COARSE
+        return out
+
+    def order_edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["o", "p"]).sort_values(["o", "p"],
+                                                      kind="mergesort")
+        u, v = _pairs_within_runs(g["o"].to_numpy(), g["p"].to_numpy())
+        e = np.unique((u.astype(np.int64) << 32) | v.astype(np.int64))
+        return pd.DataFrame({"e": e, "ebucket": e % COARSE})
+
+    def dedupe_edges(g: pd.DataFrame) -> pd.DataFrame:
+        e = np.unique(g["e"].to_numpy())
+        return pd.DataFrame({"u": e >> 32, "v": e & np.int64(0xFFFFFFFF),
+                             "e": e})
+
+    edges = (ds.map_batches(_arrowize(op_pairs), batch_format="pyarrow")
+             .groupby("bucket").map_groups(order_edges,
+                                           batch_format="pandas")
+             .groupby("ebucket").map_groups(dedupe_edges,
+                                            batch_format="pandas")
+             ).materialize()  # reduced distinct-pair table, reused twice
+    if edges.count() == 0:
+        return pd.DataFrame({"n_edges": pd.Series([0], dtype="int64"),
+                             "triangles": pd.Series([0], dtype="int64")})
+
+    def add_ubucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "ubucket", pa.array(b.column("u").to_numpy() % COARSE,
+                                pa.int64()))
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "v"], kind="mergesort")
+        v, w = _pairs_within_runs(g["u"].to_numpy(), g["v"].to_numpy())
+        wk = (v.astype(np.int64) << 32) | w.astype(np.int64)
+        uniq, cnt = np.unique(wk, return_counts=True)
+        return pd.DataFrame({"k": uniq, "cnt": cnt.astype(np.int64),
+                             "is_edge": np.int64(0),
+                             "kbucket": uniq % COARSE})
+
+    def edge_keys(b: pa.Table) -> pa.Table:
+        e = b.column("e").to_numpy()
+        return pa.table({"k": e, "cnt": np.zeros(len(e), dtype=np.int64),
+                         "is_edge": np.ones(len(e), dtype=np.int64),
+                         "kbucket": e % COARSE})
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        eset = g.loc[g["is_edge"] == 1, "k"].to_numpy()
+        wd = g[g["is_edge"] == 0]
+        hit = np.isin(wd["k"].to_numpy(), eset)
+        return pd.DataFrame({
+            "tri": [np.int64(wd.loc[hit, "cnt"].sum())],
+            "n_edges": [np.int64(len(eset))]})
+
+    tagged = (edges.map_batches(add_ubucket, batch_format="pyarrow")
+              .groupby("ubucket").map_groups(wedges, batch_format="pandas")
+              # normalize to ARROW blocks so the union's two sides share
+              # one block type (the downstream sort-groupby requires it)
+              .map_batches(lambda b: b, batch_format="pyarrow")
+              .union(edges.map_batches(edge_keys, batch_format="pyarrow")))
+    part = (tagged.groupby("kbucket")
+            .map_groups(close, batch_format="pandas").to_pandas())
+    return pd.DataFrame({
+        "n_edges": pd.Series([part["n_edges"].sum()], dtype="int64"),
+        "triangles": pd.Series([part["tri"].sum()], dtype="int64")})

@@ -2280,3 +2280,121 @@ def test_events_trailing_hour_sum_peer_and_boundary(tmp_path):
     assert got[3] == 7.0          # identical frame to e2
     assert got[4] == 8.0          # e2/e3 fell out by 1 µs
     assert got[5] == 16.0         # user isolation
+
+
+def test_pairs_within_runs_matches_combinations():
+    """The vectorized run-pair kernel equals itertools.combinations per
+    run, including empty runs, singleton runs, and a long run."""
+    import itertools
+
+    from occular_ocr_ray.pipelines.relational import _pairs_within_runs
+
+    rng = np.random.default_rng(7)
+    keys, vals = [], []
+    v = 0
+    for k, ln in enumerate([1, 4, 2, 1, 9, 3]):
+        run = sorted(rng.choice(10_000, size=ln, replace=False) + v)
+        keys += [k] * ln
+        vals += run
+        v += 20_000
+    keys = np.asarray(keys, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.int64)
+    lo, hi = _pairs_within_runs(keys, vals)
+    got = sorted(zip(lo.tolist(), hi.tolist()))
+    want = []
+    for k in np.unique(keys):
+        run = vals[keys == k]
+        want += list(itertools.combinations(run.tolist(), 2))
+    assert got == sorted(want)
+    # empty input
+    e1, e2 = _pairs_within_runs(np.empty(0, np.int64), np.empty(0, np.int64))
+    assert len(e1) == 0 and len(e2) == 0
+
+
+def test_copurchase_triangles_planted(tmp_path):
+    """Planted graph: order A = parts {1,2,3} (one triangle), order B =
+    parts {3,4} plus order C = parts {4,5} (open wedges, no closure),
+    order D repeats {1,2} (edge dedup — still one triangle).  Also
+    sharding-invariant: two input files give the same counts."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    rows = [
+        (100, 1), (100, 2), (100, 3),   # triangle 1-2-3
+        (101, 3), (101, 4),             # wedge via 3
+        (102, 4), (102, 5),             # chain, no closure
+        (103, 1), (103, 2),             # duplicate edge (1,2)
+        (103, 1),                       # duplicate line within order
+    ]
+    t = pa.table({
+        "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+        "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = R.copurchase_triangles(str(tmp_path))
+    # edges: (1,2) (1,3) (2,3) (3,4) (4,5) — deduped
+    assert out["n_edges"].tolist() == [5]
+    assert out["triangles"].tolist() == [1]
+
+    # sharding invariance: two row groups split order 101 across read
+    # tasks — the order-bucket groupby reunites it before pair-gen
+    sh = tmp_path / "sharded"
+    sh.mkdir()
+    pq.write_table(t, str(sh / "lineitem.parquet"), row_group_size=4)
+    out2 = R.copurchase_triangles(str(sh))
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_acctbal_percent_rank_ties_and_bucket_boundary(tmp_path):
+    """percent_rank edges: min-rank ties (three equal balances share
+    one pr), values straddling the 1024-cent range-bucket boundary get
+    globally-correct ranks from the offset pass, a single-customer
+    segment reports pr = 0, and negatives rank below positives."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    bal = [-5.00, 10.23, 10.23, 10.23, 10.24, 99.99]  # 1023 vs 1024 cents
+    cust = pa.table({
+        "c_custkey": pa.array(list(range(1, 7)) + [7], pa.int64()),
+        "c_mktsegment": pa.array(["A"] * 6 + ["B"]),
+        "c_acctbal": pa.array(bal + [42.0]),
+    })
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    out = R.acctbal_percent_rank(str(tmp_path))
+    got = dict(zip(out["c_custkey"], out["pr"]))
+    n = 6
+    assert got[1] == 0.0                      # rank 1
+    assert got[2] == got[3] == got[4] == (2 - 1) / (n - 1)  # min-rank ties
+    assert got[5] == (5 - 1) / (n - 1)        # first of next range bucket
+    assert got[6] == 1.0                      # rank 6
+    assert got[7] == 0.0                      # singleton segment: pr = 0
+
+
+def test_surplus_suppliers_strict_threshold(tmp_path):
+    """The 8·q > total compare is STRICT: a supplier at exactly 1/8 of
+    a part's quantity is excluded; just above is included; counts sum
+    across dominated parts."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    # part 1: total 800 → s1 ships exactly 100 (=1/8, out), s2 ships
+    # 101 (in), s3 the remaining 599 (in).
+    # part 2: s2 ships all of it (in) → s2 dominates two parts.
+    li = pa.table({
+        "l_partkey": pa.array([1, 1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 3, 2], pa.int64()),
+        "l_quantity": pa.array([100.0, 101.0, 599.0, 7.0]),
+    })
+    sup = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(sup, str(tmp_path / "supplier.parquet"))
+    out = R.surplus_suppliers(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [2, 3]
+    assert out["n_dominated"].tolist() == [2, 1]
+    assert out["s_name"].tolist() == ["s2", "s3"]
