@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surplus_suppliers": R.surplus_suppliers,
         "acctbal_percent_rank": R.acctbal_percent_rank,
         "copurchase_triangles": R.copurchase_triangles,
+        "part_reach_hops": R.part_reach_hops,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
         "hourly_anomalies": R.hourly_anomalies,
@@ -1359,6 +1360,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS triangles
             FROM e e1 JOIN e e2 ON e2.u = e1.v
                       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        """,
+        "part_reach_hops": """
+            -- exact BFS distances via WITH RECURSIVE; the Ray side
+            -- runs broadcast-frontier iteration over the same edges
+            WITH RECURSIVE lp AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+              FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS u, b.p AS v
+                  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+            seed AS (SELECT min(l_partkey) AS s FROM lineitem),
+            walk(node, hop) AS (
+              SELECT s, 0 FROM seed
+              UNION
+              SELECT CASE WHEN e.u = w.node THEN e.v ELSE e.u END,
+                     w.hop + 1
+              FROM walk w JOIN e ON e.u = w.node OR e.v = w.node
+              WHERE w.hop < 3)
+            SELECT hop, CAST(count(*) AS BIGINT) AS n_parts
+            FROM (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+            WHERE hop > 0 GROUP BY hop ORDER BY hop
         """,
         "covered_purchasers": """
             -- NAIVE universal quantification: one correlated EXISTS

@@ -4694,23 +4694,15 @@ def _pairs_within_runs(keys: np.ndarray, vals: np.ndarray):
     return vals[i_idx], vals[j_idx]
 
 
-def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
-    """Distributed triangle counting over the part co-purchase graph
-    (parts are vertices; an edge joins two parts that co-occur in at
-    least one order).  The classic web-scale pattern: (1) edge
-    generation — distinct (order, part) pairs, all-pairs-within-order
-    via the vectorized run-pair kernel (`_pairs_within_runs`, zero
-    per-order Python), deduped by edge-key hash buckets; (2) wedge
-    generation — edges grouped by their LOW endpoint emit neighbor
-    pairs (ascending orientation u<v<w bounds wedge count by
-    Σ C(outdeg,2), the node-iterator algorithm); (3) triangle closure —
-    wedges semi-joined against the edge set in coarse key buckets,
-    partial counts summed.  Every stage is a keyed exchange of reduced
-    pairs; the fact table is read once.  The edge set (the one reused
-    intermediate) is materialized — it is the REDUCED distinct-pair
-    table, orders of magnitude below the fact.  Reference analog:
-    pairwise block-overlap graph in the merge pass,
-    ocr_skel/pipeline.py:119-142."""
+def _copurchase_edges(sf_dir: str) -> rd.Dataset:
+    """Distinct undirected edges (u < v) of the part co-purchase graph:
+    parts co-occurring in at least one order.  Edge generation is the
+    vectorized run-pair kernel over distinct (order, part) pairs
+    reunited in order-keyed coarse buckets (zero per-order Python),
+    deduped by edge-key hash buckets.  Returned MATERIALIZED — it is
+    the REDUCED distinct-pair table (orders of magnitude below the
+    fact), and its consumers (`copurchase_triangles`,
+    `part_reach_hops`) scan it repeatedly."""
     COARSE = np.int64(199)
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
@@ -4732,12 +4724,28 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"u": e >> 32, "v": e & np.int64(0xFFFFFFFF),
                              "e": e})
 
-    edges = (ds.map_batches(_arrowize(op_pairs), batch_format="pyarrow")
-             .groupby("bucket").map_groups(order_edges,
+    return (ds.map_batches(_arrowize(op_pairs), batch_format="pyarrow")
+            .groupby("bucket").map_groups(order_edges,
+                                          batch_format="pandas")
+            .groupby("ebucket").map_groups(dedupe_edges,
                                            batch_format="pandas")
-             .groupby("ebucket").map_groups(dedupe_edges,
-                                            batch_format="pandas")
-             ).materialize()  # reduced distinct-pair table, reused twice
+            ).materialize()
+
+
+def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+    """Distributed triangle counting over the part co-purchase graph
+    (parts are vertices; an edge joins two parts that co-occur in at
+    least one order).  The classic web-scale pattern: (1) edge
+    generation — `_copurchase_edges`; (2) wedge generation — edges
+    grouped by their LOW endpoint emit neighbor pairs (ascending
+    orientation u<v<w bounds wedge count by Σ C(outdeg,2), the
+    node-iterator algorithm); (3) triangle closure — wedges
+    semi-joined against the edge set in coarse key buckets, partial
+    counts summed.  Every stage is a keyed exchange of reduced pairs;
+    the fact table is read once.  Reference analog: pairwise
+    block-overlap graph in the merge pass, ocr_skel/pipeline.py:119-142."""
+    COARSE = np.int64(199)
+    edges = _copurchase_edges(sf_dir)
     if edges.count() == 0:
         return pd.DataFrame({"n_edges": pd.Series([0], dtype="int64"),
                              "triangles": pd.Series([0], dtype="int64")})
@@ -4781,3 +4789,51 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_edges": pd.Series([part["n_edges"].sum()], dtype="int64"),
         "triangles": pd.Series([part["tri"].sum()], dtype="int64")})
+
+
+def part_reach_hops(sf_dir: str, max_hops: int = 3) -> pd.DataFrame:
+    """BFS reachability over the part co-purchase graph: how many parts
+    lie exactly 1, 2, 3 hops from the seed (the smallest partkey).  The
+    iterative-frontier pattern with an exact WITH RECURSIVE oracle:
+    each hop broadcasts the CURRENT FRONTIER (`ray.put` once) and runs
+    ONE vectorized `np.isin` pass over the materialized edge set — no
+    per-node probes, no driver loop over rows; the edge table never
+    re-shuffles.  Diameter-bounded BFS with a broadcast frontier is the
+    standard small-k shape; for frontiers too large to broadcast the
+    keyed-join form (`stages/cc.py` min-label iteration) is the scale
+    path — documented, not needed at 3 hops.  Hops with zero new parts
+    are omitted (mirrors the oracle's GROUP BY).  Reference analog:
+    bounded neighbor expansion in block rescue,
+    ocr_skel/pipeline.py:96-118."""
+    edges = _copurchase_edges(sf_dir)
+    if edges.count() == 0:
+        return pd.DataFrame({"hop": pd.Series(dtype="int64"),
+                             "n_parts": pd.Series(dtype="int64")})
+    seed = int(_t(sf_dir, "lineitem", ["l_partkey"])
+               .min("l_partkey"))
+    visited = {seed}
+    frontier = np.array([seed], dtype=np.int64)
+    rows = []
+    for hop in range(1, max_hops + 1):
+        fr_ref = ray.put(np.sort(frontier))
+
+        def nbrs(b: pa.Table) -> pa.Table:
+            fr = ray.get(fr_ref)
+            u = b.column("u").to_numpy()
+            v = b.column("v").to_numpy()
+            out = np.concatenate((v[np.isin(u, fr)], u[np.isin(v, fr)]))
+            return pa.table({"n": np.unique(out)})
+
+        cand = (edges.map_batches(nbrs, batch_format="pyarrow")
+                .to_pandas())  # ≤ |frontier-adjacent nodes|, reduced
+        new = np.unique(cand["n"].to_numpy().astype(np.int64))
+        new = new[~np.isin(new, np.fromiter(visited, np.int64,
+                                            len(visited)))]
+        if len(new) == 0:
+            break
+        rows.append((hop, len(new)))
+        visited.update(int(x) for x in new)
+        frontier = new
+    return pd.DataFrame({
+        "hop": pd.Series([h for h, _ in rows], dtype="int64"),
+        "n_parts": pd.Series([n for _, n in rows], dtype="int64")})

@@ -2398,3 +2398,24 @@ def test_surplus_suppliers_strict_threshold(tmp_path):
     assert out["s_suppkey"].tolist() == [2, 3]
     assert out["n_dominated"].tolist() == [2, 1]
     assert out["s_name"].tolist() == ["s2", "s3"]
+
+
+def test_part_reach_hops_planted_chain(tmp_path):
+    """Planted path graph 1-2-3-4-5 (one order per edge) plus a
+    disconnected component {8,9}: BFS from seed=1 finds exactly one
+    new part per hop, stops at max_hops=3 (part 5 unreached), and the
+    disconnected component never appears."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)]
+    t = pa.table({
+        "l_orderkey": pa.array(
+            [o for o, pr in enumerate(pairs) for _ in pr], pa.int64()),
+        "l_partkey": pa.array([p for pr in pairs for p in pr], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = R.part_reach_hops(str(tmp_path))
+    assert out["hop"].tolist() == [1, 2, 3]
+    assert out["n_parts"].tolist() == [1, 1, 1]
