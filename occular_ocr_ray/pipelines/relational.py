@@ -4742,8 +4742,12 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
     node-iterator algorithm); (3) triangle closure — wedges
     semi-joined against the edge set in coarse key buckets, partial
     counts summed.  Every stage is a keyed exchange of reduced pairs;
-    the fact table is read once.  Reference analog: pairwise
-    block-overlap graph in the merge pass, ocr_skel/pipeline.py:119-142."""
+    the fact table is read once.  Orientation here is by vertex id;
+    on power-law graphs the hot-vertex mitigation is DEGREE
+    orientation (lower-degree endpoint first — bounds total wedges by
+    O(m^1.5); degrees attach via one more bucketed join), same
+    closure stage.  Reference analog: pairwise block-overlap graph in
+    the merge pass, ocr_skel/pipeline.py:119-142."""
     COARSE = np.int64(199)
     edges = _copurchase_edges(sf_dir)
     if edges.count() == 0:
