@@ -18,6 +18,7 @@ here calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import functools
 import html as _html
 import os as _os
 from collections.abc import Callable
@@ -181,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "surplus_suppliers": R.surplus_suppliers,
         "acctbal_percent_rank": R.acctbal_percent_rank,
         "copurchase_triangles": R.copurchase_triangles,
+        "copurchase_triangles_degree": functools.partial(
+            R.copurchase_triangles, orientation="degree"),
         "part_reach_hops": R.part_reach_hops,
         # events: cohort / funnel analytics
         "cohort_retention": R.cohort_retention,
@@ -347,7 +350,7 @@ def _pagerank_sql(iters: int = 3) -> str:
     return head + body + tail
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1745,3 +1748,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id, rank
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_base()
+    # degree-oriented triangle counting is count-identical by
+    # construction (each triangle surfaces once at its min-rank vertex
+    # under ANY total order) — same oracle, independent Ray path
+    sql["copurchase_triangles_degree"] = sql["copurchase_triangles"]
+    return sql

@@ -4732,36 +4732,96 @@ def _copurchase_edges(sf_dir: str) -> rd.Dataset:
             ).materialize()
 
 
-def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
+def copurchase_triangles(sf_dir: str,
+                         orientation: str = "id") -> pd.DataFrame:
     """Distributed triangle counting over the part co-purchase graph
     (parts are vertices; an edge joins two parts that co-occur in at
     least one order).  The classic web-scale pattern: (1) edge
-    generation — `_copurchase_edges`; (2) wedge generation — edges
-    grouped by their LOW endpoint emit neighbor pairs (ascending
-    orientation u<v<w bounds wedge count by Σ C(outdeg,2), the
-    node-iterator algorithm); (3) triangle closure — wedges
-    semi-joined against the edge set in coarse key buckets, partial
-    counts summed.  Every stage is a keyed exchange of reduced pairs;
-    the fact table is read once.  Orientation here is by vertex id;
-    on power-law graphs the hot-vertex mitigation is DEGREE
-    orientation (lower-degree endpoint first — bounds total wedges by
-    O(m^1.5); degrees attach via one more bucketed join), same
-    closure stage.  Reference analog: pairwise block-overlap graph in
-    the merge pass, ocr_skel/pipeline.py:119-142."""
+    generation — `_copurchase_edges`; (2) edge ORIENTATION — each edge
+    points from its lower- to its higher-RANK endpoint; (3) wedge
+    generation — oriented edges grouped by their source emit neighbor
+    pairs (wedge count = Σ C(outdeg,2), the node-iterator algorithm;
+    each triangle surfaces exactly once, at its min-rank vertex);
+    (4) triangle closure — wedges semi-joined against the edge set in
+    coarse key buckets, partial counts summed.  Every stage is a keyed
+    exchange of reduced pairs; the fact table is read once.
+
+    Orientation is a DATA-DEPENDENT choice, both one parameter away:
+    ``"id"`` (default) ranks by vertex id — zero extra exchanges,
+    right for degree-uniform graphs (this co-purchase graph: measured
+    degree/id A/B gives identical counts with id 3.1 s vs degree
+    12.0 s at sf0.01/24cpus — the joins are pure overhead when there
+    are no hubs).  ``"degree"`` ranks by (degree, id) — the
+    power-law-safe ordering (Chiba–Nishizeki / Schank): a hot vertex
+    out-points only toward HIGHER-degree neighbors, bounding total
+    wedges by O(m^1.5) instead of the O(Σ deg²) a hub pays under id
+    rank; degrees attach via one vertex-keyed reduce + two bucketed
+    lookup joins over the reduced edge table.  Counts are provably
+    identical (each triangle surfaces once at its min-rank vertex
+    under ANY total order); tests assert it, and both paths are
+    oracled (`copurchase_triangles[_degree]`).  Reference analog:
+    pairwise block-overlap graph in the merge pass,
+    ocr_skel/pipeline.py:119-142."""
+    if orientation not in ("degree", "id"):
+        raise ValueError(f"unknown orientation {orientation!r}")
     COARSE = np.int64(199)
     edges = _copurchase_edges(sf_dir)
     if edges.count() == 0:
         return pd.DataFrame({"n_edges": pd.Series([0], dtype="int64"),
                              "triangles": pd.Series([0], dtype="int64")})
 
-    def add_ubucket(b: pa.Table) -> pa.Table:
-        return b.append_column(
-            "ubucket", pa.array(b.column("u").to_numpy() % COARSE,
-                                pa.int64()))
+    if orientation == "id":
+        # edges are already (u < v): id orientation is a rename
+        def orient_id(b: pa.Table) -> pa.Table:
+            a = b.column("u").to_numpy()
+            return pa.table({"a": a, "b": b.column("v"),
+                             "abucket": a % COARSE})
+
+        oriented = edges.map_batches(orient_id, batch_format="pyarrow")
+    else:
+        from ..stages.joins import bucketed_lookup_join
+
+        # vertex degrees: per-batch partial counts → ONE vertex-keyed
+        # coarse reduce (rows = |V|, far below the fact table)
+        def deg_partial(b: pa.Table) -> pa.Table:
+            x = np.concatenate((b.column("u").to_numpy(),
+                                b.column("v").to_numpy()))
+            uniq, cnt = np.unique(x, return_counts=True)
+            return pa.table({"x": uniq, "d": cnt.astype(np.int64),
+                             "xbucket": uniq % COARSE})
+
+        def deg_reduce(g: pd.DataFrame) -> pd.DataFrame:
+            agg = g.groupby("x", sort=False, as_index=False)["d"].sum()
+            return agg[["x", "d"]]
+
+        degs = (edges.map_batches(deg_partial, batch_format="pyarrow")
+                .groupby("xbucket").map_groups(deg_reduce,
+                                               batch_format="pandas"))
+        # attach (du, dv) via two bucketed lookup joins (u then v; the
+        # second join renames its payload d → d_r on the name clash)
+        withd = bucketed_lookup_join(
+            bucketed_lookup_join(edges, degs, left_on="u", right_on="x"),
+            degs, left_on="v", right_on="x")
+
+        def orient_deg(b: pa.Table) -> pa.Table:
+            u = b.column("u").to_numpy()
+            v = b.column("v").to_numpy()
+            du = b.column("d").to_numpy(zero_copy_only=False)
+            dv = b.column("d_r").to_numpy(zero_copy_only=False)
+            take_u = (du < dv) | ((du == dv) & (u < v))
+            a = np.where(take_u, u, v)
+            return pa.table({"a": a, "b": np.where(take_u, v, u),
+                             "abucket": a % COARSE})
+
+        oriented = withd.map_batches(orient_deg, batch_format="pyarrow")
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["u", "v"], kind="mergesort")
-        v, w = _pairs_within_runs(g["u"].to_numpy(), g["v"].to_numpy())
+        # sort puts each pivot's out-neighbors in ascending ID order,
+        # so emitted pairs are (lo, hi) in ID space — matching the
+        # (u<v)-canonical packing of the edge keys regardless of which
+        # rank oriented the edges
+        g = g.sort_values(["a", "b"], kind="mergesort")
+        v, w = _pairs_within_runs(g["a"].to_numpy(), g["b"].to_numpy())
         wk = (v.astype(np.int64) << 32) | w.astype(np.int64)
         uniq, cnt = np.unique(wk, return_counts=True)
         return pd.DataFrame({"k": uniq, "cnt": cnt.astype(np.int64),
@@ -4782,8 +4842,8 @@ def copurchase_triangles(sf_dir: str) -> pd.DataFrame:
             "tri": [np.int64(wd.loc[hit, "cnt"].sum())],
             "n_edges": [np.int64(len(eset))]})
 
-    tagged = (edges.map_batches(add_ubucket, batch_format="pyarrow")
-              .groupby("ubucket").map_groups(wedges, batch_format="pandas")
+    tagged = (oriented.groupby("abucket")
+              .map_groups(wedges, batch_format="pandas")
               # normalize to ARROW blocks so the union's two sides share
               # one block type (the downstream sort-groupby requires it)
               .map_batches(lambda b: b, batch_format="pyarrow")

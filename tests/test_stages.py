@@ -2345,6 +2345,27 @@ def test_copurchase_triangles_planted(tmp_path):
     out2 = R.copurchase_triangles(str(sh))
     pd.testing.assert_frame_equal(out, out2)
 
+    # degree vs id orientation must agree — including around a hub,
+    # where the rank ordering actually flips edges (hub part 9 has
+    # degree 7; under degree rank every 9-edge points INTO 9, under id
+    # rank they all point OUT of it)
+    hub = [(200 + i, 9) for i in range(5)] + [
+        (200, 10), (201, 11), (202, 12), (203, 13),
+        (204, 14), (204, 15),           # triangle 9-14-15
+    ]
+    t2 = pa.concat_tables([t, pa.table({
+        "l_orderkey": pa.array([o for o, _ in hub], pa.int64()),
+        "l_partkey": pa.array([p for _, p in hub], pa.int64()),
+    })])
+    hb = tmp_path / "hub"
+    hb.mkdir()
+    pq.write_table(t2, str(hb / "lineitem.parquet"))
+    deg = R.copurchase_triangles(str(hb), orientation="degree")
+    byid = R.copurchase_triangles(str(hb), orientation="id")
+    pd.testing.assert_frame_equal(deg, byid)
+    assert deg["n_edges"].tolist() == [12]   # +7 hub edges
+    assert deg["triangles"].tolist() == [2]  # +{9,14,15}
+
 
 def test_acctbal_percent_rank_ties_and_bucket_boundary(tmp_path):
     """percent_rank edges: min-rank ties (three equal balances share
