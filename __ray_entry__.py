@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_keep": R.minhash_dedup_keep_q,
         "simhash_pairs": R.simhash_pairs_q,
         "ngram_jaccard": R.ngram_jaccard_q,
+        # prefix-filtered set-similarity join (exact SQL cross-join oracle)
+        "similar_part_names": R.similar_part_names,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
@@ -1730,6 +1732,25 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = id_b
             WHERE CAST(ix AS DOUBLE)/(sa.sz + sb.sz - ix) >= 0.8
             ORDER BY id_a, id_b
+        """,
+        "similar_part_names": """
+            WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+            g AS (
+              SELECT name,
+                     CASE WHEN length(name) >= 3
+                          THEN list_distinct([substring(name, i, 3)
+                                              for i in range(1, length(name) - 1)])
+                          ELSE [name] END AS grams
+              FROM names),
+            pairs AS (
+              SELECT a.name AS name_a, b.name AS name_b,
+                     CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.grams, b.grams)))
+                         AS jac
+              FROM g a JOIN g b ON a.name < b.name)
+            SELECT name_a, name_b, round(jac, 4) AS jaccard
+            FROM pairs WHERE jac >= 0.4
+            ORDER BY name_a, name_b
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -4901,3 +4901,16 @@ def part_reach_hops(sf_dir: str, max_hops: int = 3) -> pd.DataFrame:
     return pd.DataFrame({
         "hop": pd.Series([h for h, _ in rows], dtype="int64"),
         "n_parts": pd.Series([n for _, n in rows], dtype="int64")})
+
+
+def similar_part_names(sf_dir: str) -> pd.DataFrame:
+    """Set-similarity self-join: distinct part-name pairs with char-
+    trigram Jaccard >= 0.4 via prefix filtering (stages/simjoin) — the
+    fuzzy-match/entity-resolution operator a web corpus needs for
+    near-identical titles/anchors without the O(n^2) cross join.  The
+    SQL oracle IS the cross join (list-comprehension trigrams), so the
+    comparison certifies the pruned path finds the exact pair set."""
+    from ..stages.simjoin import similarity_self_join
+
+    ds = _t(sf_dir, "part", ["p_name"])
+    return similarity_self_join(ds, "p_name", threshold=0.4)

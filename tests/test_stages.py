@@ -2440,3 +2440,40 @@ def test_part_reach_hops_planted_chain(tmp_path):
     out = R.part_reach_hops(str(tmp_path))
     assert out["hop"].tolist() == [1, 2, 3]
     assert out["n_parts"].tolist() == [1, 1, 1]
+
+
+# --- set-similarity join (prefix filtering) ----------------------------
+def test_simjoin_matches_bruteforce_on_random_strings():
+    """Prefix filtering must lose NO pairs: parity with the O(n^2)
+    reference over adversarial random strings (shared substrings, short
+    strings below the gram width, duplicates)."""
+    import random
+
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.simjoin import (
+        similarity_self_join, similarity_self_join_bruteforce)
+
+    r = random.Random(7)
+    words = ["abc", "abcd", "xyzq", "ab", "a", "zqab", "abcz", "qqqq"]
+    vals = ["".join(r.choice(words) for _ in range(r.randint(1, 3)))
+            for _ in range(120)]
+    for tau in (0.3, 0.5, 0.8):
+        got = similarity_self_join(
+            rd.from_pandas(pd.DataFrame({"v": vals})), "v", threshold=tau)
+        exp = similarity_self_join_bruteforce(vals, threshold=tau)
+        got_pairs = list(zip(got["name_a"], got["name_b"]))
+        assert got_pairs == [(a, b) for a, b, _ in exp]
+        for j_got, (_, _, j_exp) in zip(got["jaccard"], exp):
+            assert abs(j_got - j_exp) <= 5e-5  # stage rounds to 4 digits
+
+
+def test_simjoin_prefix_shorter_than_full_gram_set():
+    """The blocking pass must emit strictly fewer grams than the full
+    sets at a real threshold (the operator's entire cost story)."""
+    from occular_ocr_ray.stages.simjoin import _prefix_len, char_ngrams
+
+    s = "small yellow bolt"
+    n_grams = len(char_ngrams(s))
+    assert _prefix_len(n_grams, 0.8) < n_grams
+    assert _prefix_len(1, 0.8) == 1  # short-string fallback emits itself
