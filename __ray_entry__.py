@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": R.ngram_jaccard_q,
         # prefix-filtered set-similarity join (exact SQL cross-join oracle)
         "similar_part_names": R.similar_part_names,
+        # exact phi-heavy-hitters (CMS-pruned candidates + exact verify)
+        "heavy_hitter_customers": R.heavy_hitter_customers,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
@@ -1751,6 +1753,14 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT name_a, name_b, round(jac, 4) AS jaccard
             FROM pairs WHERE jac >= 0.4
             ORDER BY name_a, name_b
+        """,
+        "heavy_hitter_customers": """
+            WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),
+            c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY o_custkey)
+            SELECT o_custkey, cnt FROM c, t
+            WHERE cnt >= 0.001 * n
+            ORDER BY cnt DESC, o_custkey
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -4914,3 +4914,21 @@ def similar_part_names(sf_dir: str) -> pd.DataFrame:
 
     ds = _t(sf_dir, "part", ["p_name"])
     return similarity_self_join(ds, "p_name", threshold=0.4)
+
+
+def heavy_hitter_customers(sf_dir: str) -> pd.DataFrame:
+    """Customers placing ≥ 0.1% of ALL orders — exact φ-heavy-hitters
+    via stages/sketch_agg.heavy_hitters (pigeonhole candidates +
+    mergeable count-min-sketch prune + exact verify).  This is the
+    skew detector that feeds the skew-aware join's hot-key list at
+    corpus scale: only ≤ ⌈1/φ⌉ candidate keys + one fixed-size sketch
+    per batch ever shuffle, never the key column itself."""
+    from ..stages.sketch_agg import heavy_hitters
+
+    ds = _t(sf_dir, "orders", ["o_custkey"])
+    out = heavy_hitters(ds, "o_custkey", phi=0.001)
+    res = pd.DataFrame({
+        "o_custkey": out["item"].astype("int64"),
+        "cnt": out["cnt"].astype("int64")})
+    return res.sort_values(["cnt", "o_custkey"],
+                           ascending=[False, True]).reset_index(drop=True)

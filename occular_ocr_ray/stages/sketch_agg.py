@@ -197,6 +197,159 @@ def topk_by_frequency(
     return top.reset_index(drop=True)
 
 
+def _cms_hashes(items: list) -> tuple[np.ndarray, np.ndarray]:
+    """One 128-bit blake2b per item → two uint64 halves; depth-d CMS row
+    indices derive as (h1 + d·h2) mod width (Kirsch–Mitzenmacher double
+    hashing), so hashing cost is one digest per DISTINCT item per batch
+    regardless of sketch depth.  Stable across processes (never
+    PYTHONHASHSEED-dependent — a mergeable sketch hard-requires that)."""
+    import hashlib
+    import struct
+
+    h1 = np.empty(len(items), dtype=np.uint64)
+    h2 = np.empty(len(items), dtype=np.uint64)
+    for i, t in enumerate(items):
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+        h1[i], h2[i] = struct.unpack("<QQ", d)
+    return h1, h2
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    *,
+    phi: float = 0.001,
+    width: int = 8192,
+    depth: int = 4,
+    tokenize=None,
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """EXACT φ-heavy-hitters: every item whose frequency is ≥ φ·N, via a
+    pigeonhole candidate pass + mergeable count-min-sketch prune + exact
+    verify — the skewed-key detector a 100-TB join planner / hot-token
+    scan needs (complement to ``topk_by_frequency``: threshold-based,
+    not rank-based).
+
+    1. **Candidate pass** — each batch counts locally (exact) and emits
+       items with local count ≥ φ·n_batch, plus one fixed-size count-min
+       sketch (Cormode & Muthukrishnan 2005) and its token total.  By
+       averaging, any item with global count ≥ φ·N must clear the local
+       bar in ≥ 1 batch, so candidate recall is total.  The shuffle
+       moves ≤ ⌈1/φ⌉ candidate strings + depth·width int64 per batch —
+       never the corpus.
+    2. **Driver fold** — CMS matrices merge by element-wise SUM
+       (streaming ``iter_batches``, same fold shape as
+       ``topk_by_frequency``); candidates whose merged CMS estimate
+       (min over rows) is < φ·N are pruned — CMS never underestimates,
+       so pruning is lossless.
+    3. **Verify pass** — the pruned candidate set broadcasts via
+       ``ray.put``; batches emit exact counts for candidates only; a
+       tiny groupby sums and the φ·N filter is applied on TRUE counts.
+
+    The output is therefore exact for any ``width``/``depth`` — the
+    sketch only controls how many false candidates survive to the
+    verify pass.  Items are keyed by their canonical ``str()`` form
+    (callers cast back; mixed-type columns would collide otherwise).
+    Returns (item:str, cnt:int64) sorted by cnt desc, item asc.
+    Reference analog: confidence-thresholded block keep,
+    ocr_skel/heuristics.py — same certify-then-emit discipline.
+    """
+    from collections import Counter
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        c: Counter = Counter()
+        if tokenize is None:
+            c.update(str(v) for v in vals if v is not None)
+        else:
+            for v in vals:
+                if v:
+                    c.update(tokenize(v))
+        n = sum(c.values())
+        toks = [str(t) for t in c.keys()]
+        cnts = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+        cms = np.zeros((depth, width), dtype=np.int64)
+        cand: list[str] = []
+        if toks:
+            h1, h2 = _cms_hashes(toks)
+            w = np.uint64(width)
+            for d in range(depth):
+                idx = ((h1 + np.uint64(d) * h2) % w).astype(np.int64)
+                np.add.at(cms[d], idx, cnts)
+            keep = cnts.astype(np.float64) >= phi * n
+            cand = [t for t, m in zip(toks, keep) if m]
+        return pa.table({
+            "cand": pa.array([cand], pa.list_(pa.string())),
+            "cms": pa.array([cms.tobytes()], pa.binary()),
+            "n": pa.array([n], pa.int64()),
+        })
+
+    cms_total = np.zeros((depth, width), dtype=np.int64)
+    cand_all: set[str] = set()
+    n_total = 0
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=batch_size)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for cand, blob, n in zip(b["cand"].to_pylist(), b["cms"].to_pylist(),
+                                 b["n"].to_pylist()):
+            cms_total += np.frombuffer(blob, dtype=np.int64).reshape(
+                depth, width)
+            cand_all.update(cand)
+            n_total += n
+
+    empty = pd.DataFrame({"item": pd.Series([], dtype=str),
+                          "cnt": pd.Series([], dtype=np.int64)})
+    if not cand_all or n_total == 0:
+        return empty
+
+    # lossless CMS prune: min-over-rows estimate is an UPPER bound on
+    # the true count, so est < φ·N proves the item is not a heavy hitter
+    cand_list = sorted(cand_all)
+    h1, h2 = _cms_hashes(cand_list)
+    w = np.uint64(width)
+    est = np.full(len(cand_list), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = ((h1 + np.uint64(d) * h2) % w).astype(np.int64)
+        est = np.minimum(est, cms_total[d][idx])
+    thresh = phi * n_total
+    pruned = [t for t, e in zip(cand_list, est)
+              if float(e) >= thresh]
+    if not pruned:
+        return empty
+
+    cand_ref = ray.put(frozenset(pruned))
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        c: Counter = Counter()
+        vals = batch[col].to_pylist()
+        if tokenize is None:
+            c.update(s for s in (str(v) for v in vals if v is not None)
+                     if s in cand)
+        else:
+            for v in vals:
+                if v:
+                    c.update(t for t in tokenize(v) if t in cand)
+        return pa.table({"item": pa.array(list(c.keys()), pa.string()),
+                         "cnt": pa.array(list(c.values()), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        ds.map_batches(exact_counts, batch_format="pyarrow",
+                       batch_size=batch_size)
+        .groupby("item").aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    out = exact[exact["cnt"].astype(np.float64) >= thresh].copy()
+    out = out.sort_values(["cnt", "item"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
 def approx_quantiles(
     ds,
     key_col: str,

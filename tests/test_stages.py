@@ -2477,3 +2477,71 @@ def test_simjoin_prefix_shorter_than_full_gram_set():
     n_grams = len(char_ngrams(s))
     assert _prefix_len(n_grams, 0.8) < n_grams
     assert _prefix_len(1, 0.8) == 1  # short-string fallback emits itself
+
+
+# --- exact phi-heavy-hitters (CMS-pruned two-pass) ----------------------
+def _hh_bruteforce(items, phi):
+    import collections
+    c = collections.Counter(str(v) for v in items)
+    n = sum(c.values())
+    keep = [(t, k) for t, k in c.items() if k >= phi * n]
+    return sorted(keep, key=lambda p: (-p[1], p[0]))
+
+
+def test_heavy_hitters_matches_bruteforce_zipf():
+    """Exactness across phi levels on a zipf-ish key distribution —
+    including phi small enough that most keys qualify and large enough
+    that none do."""
+    import random
+
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.sketch_agg import heavy_hitters
+
+    r = random.Random(11)
+    items = [str(min(int(r.paretovariate(1.2)), 40)) for _ in range(3000)]
+    ds = rd.from_pandas(pd.DataFrame({"k": items}))
+    for phi in (0.001, 0.02, 0.3, 0.9):
+        got = heavy_hitters(ds, "k", phi=phi, batch_size=256)
+        exp = _hh_bruteforce(items, phi)
+        assert list(zip(got["item"], got["cnt"])) == exp
+
+
+def test_heavy_hitters_partitioning_invariant_and_tiny_sketch():
+    """Result is identical under repartitioning AND under a
+    collision-saturated sketch (width=8): the CMS only prunes, never
+    decides — correctness cannot depend on sketch size."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.sketch_agg import heavy_hitters
+
+    items = ["hot"] * 500 + ["warm"] * 60 + [f"cold{i}" for i in range(440)]
+    df = pd.DataFrame({"k": items})
+    exp = _hh_bruteforce(items, 0.05)
+    for nparts in (1, 7):
+        ds = rd.from_pandas(df).repartition(nparts)
+        got = heavy_hitters(ds, "k", phi=0.05, batch_size=64,
+                            width=8, depth=2)
+        assert list(zip(got["item"], got["cnt"])) == exp
+
+
+def test_heavy_hitters_threshold_boundary_and_empty():
+    """An item at EXACTLY phi*N is included (>= semantics, matching the
+    SQL oracle); one below is excluded; empty input returns the typed
+    empty frame."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.sketch_agg import heavy_hitters
+
+    # N=100, phi=0.1 -> bar is 10: "edge" has exactly 10, "under" has 9
+    items = ["edge"] * 10 + ["under"] * 9 + [f"u{i}" for i in range(81)]
+    ds = rd.from_pandas(pd.DataFrame({"k": items}))
+    got = heavy_hitters(ds, "k", phi=0.1, batch_size=16)
+    assert list(got["item"]) == ["edge"]
+    assert list(got["cnt"]) == [10]
+
+    empty = heavy_hitters(
+        rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=str)})),
+        "k", phi=0.1)
+    assert len(empty) == 0
+    assert list(empty.columns) == ["item", "cnt"]
