@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similar_part_names": R.similar_part_names,
         # exact phi-heavy-hitters (CMS-pruned candidates + exact verify)
         "heavy_hitter_customers": R.heavy_hitter_customers,
+        # exact BM25 top-k search (corpus-stats fold + broadcast idf)
+        "bm25_search": R.bm25_search,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
@@ -1753,6 +1755,34 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT name_a, name_b, round(jac, 4) AS jaccard
             FROM pairs WHERE jac >= 0.4
             ORDER BY name_a, name_b
+        """,
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+              FROM documents),
+            t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+                   FROM t2 GROUP BY doc_id),
+            corpus AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     CAST((SELECT count(*) FROM t2) AS DOUBLE)
+                       / (SELECT count(*) FROM documents) AS avgdl),
+            q AS (SELECT * FROM (VALUES ('spark'), ('window'), ('merge'))
+                  AS q(term)),
+            tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+                   FROM t2 JOIN q ON tok = q.term GROUP BY doc_id, tok),
+            dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     sum( ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                          * (tf * (1.2 + 1))
+                          / (tf + 1.2 * ((1 - 0.75) + 0.75 * dl.dl / avgdl))
+                        ) AS s
+              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), corpus
+              GROUP BY tf.doc_id)
+            SELECT doc_id, round(s, 4) AS score FROM scored
+            ORDER BY score DESC, doc_id LIMIT 10
         """,
         "heavy_hitter_customers": """
             WITH t AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM orders),

@@ -4932,3 +4932,17 @@ def heavy_hitter_customers(sf_dir: str) -> pd.DataFrame:
         "cnt": out["cnt"].astype("int64")})
     return res.sort_values(["cnt", "o_custkey"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+def bm25_search(sf_dir: str) -> pd.DataFrame:
+    """Top-10 documents for the query "spark window merge" under exact
+    BM25 (stages/text_analysis.bm25_topk): one corpus-stats fold (N,
+    avgdl, per-term df — a handful of numbers), broadcast idf table,
+    then per-batch scoring that emits only local top-k rows.  The
+    corpus itself never shuffles; scores round to 4 digits BEFORE
+    ranking so the order is summation-order-independent and the SQL
+    oracle replicates it exactly."""
+    from ..stages.text_analysis import bm25_topk
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, ["spark", "window", "merge"], k=10)

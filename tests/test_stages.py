@@ -2545,3 +2545,62 @@ def test_heavy_hitters_threshold_boundary_and_empty():
         "k", phi=0.1)
     assert len(empty) == 0
     assert list(empty.columns) == ["item", "cnt"]
+
+
+# --- BM25 top-k search --------------------------------------------------
+def _bm25_bruteforce(docs, terms, k, k1=1.2, b=0.75, digits=4):
+    import collections
+    import math
+    n = len(docs)
+    tokd = [d.split() for d in docs]
+    total = sum(len(t) for t in tokd)
+    avgdl = total / n
+    rows = []
+    for i, toks in enumerate(tokd):
+        dl = len(toks)
+        if not dl:
+            continue
+        c = collections.Counter(toks)
+        s = 0.0
+        for t in sorted(set(terms)):
+            tf = c.get(t, 0)
+            df = sum(1 for tt in tokd if t in tt)
+            if tf:
+                s += (math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                      * (tf * (k1 + 1.0))
+                      / (tf + k1 * ((1.0 - b) + b * dl / avgdl)))
+        if s > 0:
+            rows.append((round(s, digits), i))
+    rows.sort(key=lambda r: (-r[0], r[1]))
+    return [(i, s) for s, i in rows[:k]]
+
+
+def test_bm25_matches_bruteforce_and_partitioning():
+    import random
+
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.text_analysis import bm25_topk
+
+    r = random.Random(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "rare", "spark"]
+    docs = [" ".join(r.choices(vocab, weights=[8, 6, 4, 3, 1, 2],
+                               k=r.randint(1, 40))) for _ in range(400)]
+    docs[7] = ""  # empty doc must not crash or score
+    exp = _bm25_bruteforce(docs, ["rare", "spark"], k=10)
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    for nparts in (1, 8):
+        ds = rd.from_pandas(df).repartition(nparts)
+        got = bm25_topk(ds, ["rare", "spark"], k=10, batch_size=32)
+        assert list(zip(got["doc_id"], got["score"])) == exp
+
+
+def test_bm25_no_hits_and_empty_query():
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.text_analysis import bm25_topk
+
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b c", "c d e"]}))
+    assert len(bm25_topk(ds, ["zzz"], k=5)) == 0
+    assert len(bm25_topk(ds, [], k=5)) == 0
