@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_customers": R.heavy_hitter_customers,
         # exact BM25 top-k search (corpus-stats fold + broadcast idf)
         "bm25_search": R.bm25_search,
+        # entity resolution: simjoin pairs -> distributed CC clusters
+        "part_name_clusters": R.part_name_clusters,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
@@ -1755,6 +1757,34 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT name_a, name_b, round(jac, 4) AS jaccard
             FROM pairs WHERE jac >= 0.4
             ORDER BY name_a, name_b
+        """,
+        "part_name_clusters": """
+            WITH RECURSIVE names AS (
+              SELECT DISTINCT p_name AS name FROM part),
+            g AS (
+              SELECT name,
+                     CASE WHEN length(name) >= 3
+                          THEN list_distinct([substring(name, i, 3)
+                                              for i in range(1, length(name) - 1)])
+                          ELSE [name] END AS grams
+              FROM names),
+            prs AS (
+              SELECT a.name AS na, b.name AS nb
+              FROM g a JOIN g b ON a.name < b.name
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.grams, b.grams)))
+                      >= 0.4),
+            edges AS (
+              SELECT na AS node, nb AS nbr FROM prs
+              UNION ALL
+              SELECT nb AS node, na AS nbr FROM prs),
+            reach(node, label) AS (
+              SELECT name, name FROM names
+              UNION
+              SELECT e.nbr, r.label
+              FROM reach r JOIN edges e ON e.node = r.node)
+            SELECT node AS p_name, min(label) AS cluster
+            FROM reach GROUP BY node ORDER BY p_name
         """,
         "bm25_search": """
             WITH toks AS (

@@ -4946,3 +4946,44 @@ def bm25_search(sf_dir: str) -> pd.DataFrame:
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return bm25_topk(ds, ["spark", "window", "merge"], k=10)
+
+
+def part_name_clusters(sf_dir: str) -> pd.DataFrame:
+    """Entity resolution: canonicalize near-identical part names by
+    clustering the trigram-Jaccard ≥ 0.4 similarity graph
+    (stages/simjoin prefix-filtered pair gen → stages/cc distributed
+    min-label components over STRING node keys).  Every distinct name
+    maps to its component's lexicographically-min name — the
+    fuzzy-group-by a web corpus needs to merge near-duplicate titles/
+    anchors into one canonical entity.  The SQL oracle re-derives the
+    same fixpoint with a recursive CTE over the exact cross-join pair
+    set, so both the pruned pair gen AND the iterative propagation are
+    certified."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..stages.cc import connected_component_labels
+    from ..stages.simjoin import similarity_self_join
+
+    ds = _t(sf_dir, "part", ["p_name"])
+    pairs = similarity_self_join(ds, "p_name", threshold=0.4)
+    # rank-encode the distinct-name vocabulary to int node ids (order-
+    # isomorphic: min-id label ≡ lexicographically-min name).  The
+    # vocabulary and pair list are driver-bounded by construction (the
+    # entity dictionary, not the corpus); the label PROPAGATION — the
+    # part that grows with component count/diameter — runs distributed.
+    names = sorted(ds.groupby("p_name").count().to_pandas()["p_name"]
+                   .astype(str))
+    rank = {n: i for i, n in enumerate(names)}
+    ids_ds = rd.from_pandas(pd.DataFrame(
+        {"nid": np.arange(len(names), dtype=np.int64)}))
+    pairs_ds = rd.from_pandas(pd.DataFrame(
+        {"id_a": pairs["name_a"].map(rank).astype(np.int64),
+         "id_b": pairs["name_b"].map(rank).astype(np.int64)}))
+    labels = connected_component_labels(
+        ids_ds, pairs_ds, id_col="nid", num_buckets=32).to_pandas()
+    arr = np.asarray(names, dtype=object)
+    out = pd.DataFrame({
+        "p_name": arr[labels["nid"].to_numpy()],
+        "cluster": arr[labels["label"].to_numpy()]})
+    return out.sort_values("p_name").reset_index(drop=True)

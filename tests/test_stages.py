@@ -2604,3 +2604,35 @@ def test_bm25_no_hits_and_empty_query():
         {"doc_id": [1, 2], "text": ["a b c", "c d e"]}))
     assert len(bm25_topk(ds, ["zzz"], k=5)) == 0
     assert len(bm25_topk(ds, [], k=5)) == 0
+
+
+# --- entity resolution: simjoin pairs -> CC clusters --------------------
+def test_part_name_clusters_planted_chain(tmp_path):
+    """Planted transitive chain: "one two three" ~ "two three four" ~
+    "three four five" (adjacent Jaccard >= 0.4, endpoints 0.14 — below)
+    must still land in ONE cluster labeled by the lexicographic min, while
+    an unrelated singleton stays its own cluster — the property a
+    pairwise-threshold join alone cannot express."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+    from occular_ocr_ray.stages.simjoin import char_ngrams
+
+    chain = ["one two three", "two three four", "three four five"]
+    lone = "zz qq ww totally other"
+
+    def jac(a, b):
+        ga, gb = char_ngrams(a), char_ngrams(b)
+        return len(ga & gb) / len(ga | gb)
+
+    assert jac(chain[0], chain[1]) >= 0.4 and jac(chain[1], chain[2]) >= 0.4
+    assert jac(chain[0], chain[2]) < 0.4  # endpoints only join via CC
+    assert jac(chain[0], lone) < 0.4
+
+    t = pa.table({"p_name": pa.array(chain + [lone] + [chain[0]])})
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = R.part_name_clusters(str(tmp_path))
+    got = dict(zip(out["p_name"], out["cluster"]))
+    assert got[chain[0]] == got[chain[1]] == got[chain[2]] == min(chain)
+    assert got[lone] == lone
+    assert len(out) == 4  # distinct names only, duplicate row collapsed
