@@ -214,6 +214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": R.bm25_search,
         # entity resolution: simjoin pairs -> distributed CC clusters
         "part_name_clusters": R.part_name_clusters,
+        # grouped least-squares line via mergeable moment partials
+        "price_qty_regression": R.price_qty_regression,
+        # Pareto frontier via lossless local-skyline prune
+        "part_skyline": R.part_skyline,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
@@ -1757,6 +1761,26 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT name_a, name_b, round(jac, 4) AS jaccard
             FROM pairs WHERE jac >= 0.4
             ORDER BY name_a, name_b
+        """,
+        "price_qty_regression": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(regr_slope(l_extendedprice, l_quantity), 6)
+                     AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                     AS intercept
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "part_skyline": """
+            SELECT p_partkey, p_retailprice, p_size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice
+                AND q.p_size <= p.p_size
+                AND (q.p_retailprice < p.p_retailprice
+                     OR q.p_size < p.p_size))
+            ORDER BY p_partkey
         """,
         "part_name_clusters": """
             WITH RECURSIVE names AS (

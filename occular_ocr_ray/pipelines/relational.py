@@ -4987,3 +4987,76 @@ def part_name_clusters(sf_dir: str) -> pd.DataFrame:
         "p_name": arr[labels["nid"].to_numpy()],
         "cluster": arr[labels["label"].to_numpy()]})
     return out.sort_values("p_name").reset_index(drop=True)
+
+
+def price_qty_regression(sf_dir: str) -> pd.DataFrame:
+    """Grouped least-squares line (extendedprice ~ quantity) per return
+    flag via the same shifted mergeable moment partials as
+    ``lineitem_price_qty_corr``: six numbers per (batch, key) shuffle,
+    never the values.  Slope is shift-invariant; the intercept
+    de-shifts exactly (ȳ+SY − slope·(x̄+SX)).  Round-6 output absorbs
+    summation-order noise vs DuckDB's streaming regr_* kernels."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_extendedprice"])
+    SX, SY = 25.0, 35000.0  # same fixed shifts as the corr query
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(np.float64) - SX
+        y = df["l_extendedprice"].to_numpy(np.float64) - SY
+        d = pd.DataFrame({"l_returnflag": df["l_returnflag"],
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x})
+        return d.groupby("l_returnflag", as_index=False).sum()
+
+    m = _partial_groupby(ds, ["l_returnflag"], partials,
+                         [("n", "i"), ("sx", "f"), ("sy", "f"),
+                          ("sxy", "f"), ("sxx", "f")]).to_pandas()
+    n = m["n"].astype(np.float64)
+    slope = (m["sxy"] - m["sx"] * m["sy"] / n) / (m["sxx"] - m["sx"] ** 2 / n)
+    intercept = (m["sy"] / n + SY) - slope * (m["sx"] / n + SX)
+    out = pd.DataFrame({
+        "l_returnflag": m["l_returnflag"],
+        "n_items": m["n"].astype(np.int64),
+        "slope": _round_away(slope, 6),
+        "intercept": _round_away(intercept, 6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def part_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier (skyline) over (p_retailprice, p_size), both
+    minimized: parts no other part dominates (≤ on both, < on one).
+    Scale shape: each batch computes its LOCAL skyline vectorized
+    (sort by price, exclusive prefix-min of size + same-price group
+    min) and emits only survivors — lossless because domination is
+    transitive, so any globally-dominated point is dominated by some
+    local-skyline point — then one driver resolve over the tiny
+    survivor set.  Order comparisons only, so float parity with the
+    NOT-EXISTS SQL oracle is exact (no arithmetic)."""
+    ds = _t(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        d = df.sort_values(["p_retailprice", "p_size"],
+                           kind="mergesort").reset_index(drop=True)
+        price = d["p_retailprice"].to_numpy()
+        size = d["p_size"].to_numpy(np.int64)
+        # exclusive prefix-min of size over strictly-smaller prices
+        new_price = np.empty(len(d), dtype=bool)
+        new_price[0] = True
+        new_price[1:] = price[1:] != price[:-1]
+        grp = np.cumsum(new_price) - 1  # price-run ordinal
+        run_min = np.minimum.reduceat(size, np.flatnonzero(new_price))
+        prev_min = np.full(len(run_min), np.iinfo(np.int64).max)
+        if len(run_min) > 1:
+            np.minimum.accumulate(run_min[:-1], out=prev_min[1:])
+        dominated = prev_min[grp] <= size          # cheaper price, ≤ size
+        dominated |= run_min[grp] < size           # equal price, < size
+        return d.loc[~dominated]
+
+    survivors = ds.map_batches(local_skyline, batch_format="pandas",
+                               batch_size=4096).to_pandas()
+    out = local_skyline(survivors)
+    return (out.sort_values("p_partkey").reset_index(drop=True)
+            [["p_partkey", "p_retailprice", "p_size"]])

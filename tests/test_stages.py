@@ -2636,3 +2636,64 @@ def test_part_name_clusters_planted_chain(tmp_path):
     assert got[chain[0]] == got[chain[1]] == got[chain[2]] == min(chain)
     assert got[lone] == lone
     assert len(out) == 4  # distinct names only, duplicate row collapsed
+
+
+# --- Pareto frontier / grouped regression -------------------------------
+def test_part_skyline_matches_bruteforce_with_ties(tmp_path):
+    """Local-prune skyline must equal the O(n^2) definition on points
+    with duplicated coordinates (duplicates don't dominate each other)
+    and tied prices; invariant under sharding."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    r = random.Random(5)
+    pts = [(float(r.randint(1, 12)), r.randint(1, 12)) for _ in range(300)]
+    pts += pts[:10]  # exact duplicate points
+    keys = list(range(len(pts)))
+    t = pa.table({
+        "p_partkey": pa.array(keys, pa.int64()),
+        "p_retailprice": pa.array([p for p, _ in pts], pa.float64()),
+        "p_size": pa.array([s for _, s in pts], pa.int32()),
+    })
+
+    def dominated(i):
+        pi, si = pts[i]
+        return any((q <= pi and t <= si and (q < pi or t < si))
+                   for q, t in pts)
+
+    exp = sorted(k for k in keys if not dominated(k))
+    for nfiles in (1, 4):
+        import shutil
+        d = tmp_path / f"shard{nfiles}"
+        d.mkdir()
+        per = (len(keys) + nfiles - 1) // nfiles
+        for f in range(nfiles):
+            pq.write_table(t.slice(f * per, per),
+                           str(d / f"part_{f}.parquet"))
+        # relational._t reads the whole dir via the table name glob
+        shutil.move(str(d / "part_0.parquet"), str(d / "part.parquet"))
+        out = R.part_skyline(str(d))
+        assert out["p_partkey"].tolist() == exp
+
+
+def test_price_qty_regression_planted_exact_line(tmp_path):
+    """Points on y = 3x + 7 exactly must recover slope 3, intercept 7
+    (moment cancellation benign after the fixed shift)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    x = np.arange(1, 51, dtype=np.float64)
+    t = pa.table({
+        "l_returnflag": pa.array(["A"] * 50),
+        "l_quantity": pa.array(x, pa.float64()),
+        "l_extendedprice": pa.array(3.0 * x + 7.0, pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = R.price_qty_regression(str(tmp_path))
+    assert out["slope"].tolist() == [3.0]
+    assert out["intercept"].tolist() == [7.0]
+    assert out["n_items"].tolist() == [50]
