@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_qty_regression": R.price_qty_regression,
         # Pareto frontier via lossless local-skyline prune
         "part_skyline": R.part_skyline,
+        # distributed UNPIVOT (wide->long in-batch) + per-measure rollup
+        "lineitem_measure_stats": R.lineitem_measure_stats,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
@@ -1761,6 +1763,23 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT name_a, name_b, round(jac, 4) AS jaccard
             FROM pairs WHERE jac >= 0.4
             ORDER BY name_a, name_b
+        """,
+        "lineitem_measure_stats": """
+            WITH long AS (
+              SELECT 'l_discount' AS measure, l_discount AS v FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT 'l_quantity', l_quantity FROM lineitem
+              UNION ALL
+              SELECT 'l_tax', l_tax FROM lineitem)
+            SELECT measure,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(v * 100) AS BIGINT)) AS DOUBLE) / 100
+                     AS total,
+                   CAST(min(v) AS DOUBLE) AS min_v,
+                   CAST(max(v) AS DOUBLE) AS max_v
+            FROM long GROUP BY measure ORDER BY measure
         """,
         "price_qty_regression": """
             SELECT l_returnflag,

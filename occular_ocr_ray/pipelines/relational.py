@@ -5060,3 +5060,49 @@ def part_skyline(sf_dir: str) -> pd.DataFrame:
     out = local_skyline(survivors)
     return (out.sort_values("p_partkey").reset_index(drop=True)
             [["p_partkey", "p_retailprice", "p_size"]])
+
+
+def lineitem_measure_stats(sf_dir: str) -> pd.DataFrame:
+    """Distributed UNPIVOT (wide → long) + per-measure rollup: the four
+    lineitem measures melt row-wise INSIDE each batch (one zero-copy
+    Arrow column concat per measure — the long form never exists as a
+    corpus-wide intermediate) and pre-aggregate to (measure, n, sum,
+    min, max) partials before the ≤ 4-row exchange.  Sums are exact
+    int64 cents, so parallelism cannot move the result."""
+    ds = _t(sf_dir, "lineitem",
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    measures = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+    def melt_partials(batch: pa.Table) -> pa.Table:
+        rows = []
+        for m in measures:
+            v = batch[m].to_numpy(zero_copy_only=False).astype(np.float64)
+            cents = np.round(v * 100.0).astype(np.int64)
+            rows.append((m, len(v), int(cents.sum()),
+                         float(v.min()) if len(v) else np.inf,
+                         float(v.max()) if len(v) else -np.inf))
+        return pa.table({
+            "measure": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "mn": pa.array([r[3] for r in rows], pa.float64()),
+            "mx": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    m = (ds.map_batches(melt_partials, batch_format="pyarrow")
+         .groupby("measure")
+         .aggregate(Sum("n", alias_name="n"),
+                    Sum("sum_cents", alias_name="sum_cents"),
+                    Min("mn", alias_name="mn"),
+                    Max("mx", alias_name="mx"))
+         .to_pandas())
+    out = pd.DataFrame({
+        "measure": m["measure"],
+        "n": m["n"].astype(np.int64),
+        "total": (m["sum_cents"].astype(np.int64) / 100.0),
+        "min_v": m["mn"].astype(np.float64),
+        "max_v": m["mx"].astype(np.float64),
+    })
+    return out.sort_values("measure").reset_index(drop=True)

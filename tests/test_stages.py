@@ -2697,3 +2697,26 @@ def test_price_qty_regression_planted_exact_line(tmp_path):
     assert out["slope"].tolist() == [3.0]
     assert out["intercept"].tolist() == [7.0]
     assert out["n_items"].tolist() == [50]
+
+
+def test_lineitem_measure_stats_planted(tmp_path):
+    """Unpivot rollup on a tiny planted fact: exact cent sums, per-
+    measure min/max, and all four measure rows present."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    t = pa.table({
+        "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "l_extendedprice": pa.array([10.25, 20.50, 0.01], pa.float64()),
+        "l_discount": pa.array([0.05, 0.00, 0.10], pa.float64()),
+        "l_tax": pa.array([0.02, 0.08, 0.04], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = R.lineitem_measure_stats(str(tmp_path))
+    assert out["measure"].tolist() == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+    assert out["n"].tolist() == [3, 3, 3, 3]
+    assert out["total"].tolist() == [0.15, 30.76, 6.0, 0.14]
+    assert out["min_v"].tolist() == [0.0, 0.01, 1.0, 0.02]
+    assert out["max_v"].tolist() == [0.10, 20.50, 3.0, 0.08]
