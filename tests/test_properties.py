@@ -175,3 +175,44 @@ def test_rolling_and_blake2b_gram_builds_agree(docs, w):
             same_window = a[4] == b[4]
             assert (a[2] == b[2]) == same_window  # rolling ≡ equality
             assert (a[3] == b[3]) == same_window  # blake2b ≡ equality
+
+
+@given(st.dictionaries(st.text(min_size=1, max_size=8),
+                       st.integers(1, 1000), min_size=1, max_size=60),
+       st.integers(3, 64), st.integers(1, 4))
+@settings(max_examples=150, deadline=None)
+def test_cms_estimate_never_underestimates(counts, width, depth):
+    """The prune in sketch_agg.heavy_hitters is lossless ONLY because
+    the count-min estimate is an upper bound on the true count — pin
+    that for arbitrary items/counts and adversarially small sketches."""
+    import numpy as np
+
+    from occular_ocr_ray.stages.sketch_agg import _cms_hashes
+
+    items = list(counts.keys())
+    cnts = np.array([counts[t] for t in items], dtype=np.int64)
+    cms = np.zeros((depth, width), dtype=np.int64)
+    h1, h2 = _cms_hashes(items)
+    w = np.uint64(width)
+    for d in range(depth):
+        idx = ((h1 + np.uint64(d) * h2) % w).astype(np.int64)
+        np.add.at(cms[d], idx, cnts)
+    est = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = ((h1 + np.uint64(d) * h2) % w).astype(np.int64)
+        est = np.minimum(est, cms[d][idx])
+    assert (est >= cnts).all()
+
+
+@given(st.integers(1, 500),
+       st.floats(0.05, 1.0, allow_nan=False, exclude_min=False))
+@settings(max_examples=200, deadline=None)
+def test_simjoin_prefix_len_bounds_and_monotone(size, tau):
+    """Prefix length stays in [1, size] and a stricter threshold never
+    needs a LONGER prefix (the filter's completeness/cost contract)."""
+    from occular_ocr_ray.stages.simjoin import _prefix_len
+
+    p = _prefix_len(size, tau)
+    assert 1 <= p <= size
+    tighter = min(1.0, tau + 0.1)
+    assert _prefix_len(size, tighter) <= p
