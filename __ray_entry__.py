@@ -220,6 +220,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_skyline": R.part_skyline,
         # distributed UNPIVOT (wide->long in-batch) + per-measure rollup
         "lineitem_measure_stats": R.lineitem_measure_stats,
+        # Spearman rho: Pearson on tie-averaged ranks, zero row-level ranking
+        "price_qty_spearman": R.price_qty_spearman,
+        # weighted median over a (brand, value)->weight count exchange
+        "brand_weighted_median": R.brand_weighted_median,
+        # PMI collocations: vocab-sized exchanges + broadcast unigram table
+        "bigram_pmi": R.bigram_pmi,
+        # pairwise source-vocabulary overlap via coarse token-keyed pass
+        "source_vocab_jaccard": R.source_vocab_jaccard,
+        # zone-map layout: manifest-planned range scan, pruned read tasks
+        "zonemap_order_scan": R.zonemap_order_scan,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
@@ -1780,6 +1790,92 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(min(v) AS DOUBLE) AS min_v,
                    CAST(max(v) AS DOUBLE) AS max_v
             FROM long GROUP BY measure ORDER BY measure
+        """,
+        "price_qty_spearman": """
+            WITH r AS (
+              SELECT l_returnflag,
+                     rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_quantity)
+                       + (count(*) OVER (PARTITION BY l_returnflag,
+                                         l_quantity) - 1) / 2.0 AS r1,
+                     rank() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice)
+                       + (count(*) OVER (PARTITION BY l_returnflag,
+                                         l_extendedprice) - 1) / 2.0 AS r2
+              FROM lineitem)
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+                   round(corr(r1, r2), 6) AS spearman_rho
+            FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "brand_weighted_median": """
+            WITH vw AS (
+              SELECT p_brand,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS w
+              FROM lineitem JOIN part ON p_partkey = l_partkey
+              GROUP BY 1, 2),
+            cum AS (
+              SELECT p_brand, cents,
+                     sum(w) OVER (PARTITION BY p_brand
+                                  ORDER BY cents) AS cw,
+                     sum(w) OVER (PARTITION BY p_brand) AS tw
+              FROM vw)
+            SELECT p_brand, CAST(max(tw) AS BIGINT) AS total_qty,
+                   round(min(cents) FILTER (WHERE 2 * cw >= tw) / 100.0, 2)
+                     AS weighted_median_price
+            FROM cum GROUP BY p_brand ORDER BY p_brand
+        """,
+        "bigram_pmi": r"""
+            WITH docs AS (SELECT trim(text) AS t FROM documents
+                          WHERE text IS NOT NULL AND trim(text) <> ''),
+            toks AS (SELECT string_split_regex(t, '\s+') AS l FROM docs),
+            uni AS (SELECT unnest(l) AS tok FROM toks),
+            ucnt AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+            nu AS (SELECT count(*) AS n FROM uni),
+            bi AS (SELECT unnest(list_slice(l, 1, len(l) - 1)) AS t1,
+                          unnest(list_slice(l, 2, len(l))) AS t2
+                   FROM toks WHERE len(l) >= 2),
+            bcnt AS (SELECT t1, t2, count(*) AS cnt FROM bi GROUP BY t1, t2),
+            nbt AS (SELECT count(*) AS n FROM bi)
+            SELECT b.t1 AS tok1, b.t2 AS tok2, CAST(b.cnt AS BIGINT) AS cnt,
+                   round(ln( (b.cnt * (SELECT n FROM nu)
+                              * (SELECT n FROM nu))
+                             / ((SELECT n FROM nbt) * u1.c * u2.c) ), 6)
+                     AS pmi
+            FROM bcnt b
+            JOIN ucnt u1 ON u1.tok = b.t1
+            JOIN ucnt u2 ON u2.tok = b.t2
+            WHERE b.cnt >= 10
+            ORDER BY pmi DESC, tok1, tok2 LIMIT 15
+        """,
+        "source_vocab_jaccard": r"""
+            WITH st AS (SELECT DISTINCT source, tok FROM (
+                SELECT source,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> '')),
+            sz AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+            inter AS (SELECT a.source AS source_a, b.source AS source_b,
+                             count(*) AS n_common
+                      FROM st a JOIN st b USING (tok)
+                      WHERE a.source < b.source GROUP BY 1, 2)
+            SELECT source_a, source_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   round(n_common / (na.n + nb.n - n_common), 6) AS jaccard
+            FROM inter
+            JOIN sz na ON na.source = source_a
+            JOIN sz nb ON nb.source = source_b
+            ORDER BY source_a, source_b
+        """,
+        "zonemap_order_scan": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         / 100.0, 2) AS revenue
+            FROM orders
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                  BETWEEN 10000000 AND 20000000
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "price_qty_regression": """
             SELECT l_returnflag,

@@ -5106,3 +5106,384 @@ def lineitem_measure_stats(sf_dir: str) -> pd.DataFrame:
         "max_v": m["mx"].astype(np.float64),
     })
     return out.sort_values("measure").reset_index(drop=True)
+
+
+def price_qty_spearman(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between quantity and extended price
+    per return flag — Pearson on tie-averaged ranks, computed WITHOUT
+    ranking a single fact row.
+
+    Scale shape (the `acctbal_percent_rank` two-phase discipline plus a
+    sufficient-statistics trick): (1) ONE exchange moves distinct
+    (flag, qty, cents) value counts — duplicates collapse map-side, the
+    fact table never shuffles; (2) quantity ranks come from a tiny
+    driver marginal (≤ flags × 50 rows, broadcast); (3) price ranks use
+    the two-phase range-bucket prefix sum — per (flag, bucket)
+    subtotals reduce to a driver table whose running sum gives each
+    bucket its rank offset, local tie-averaged ranks are vectorized
+    inside each (flag, bucket) group; (4) each group emits only three
+    centered integer moment partials (Σc·d1·d2, Σc·d1², Σc·d2² with
+    d = 2·rank − (n+1), an exact int64 at bench scale), so
+    rho = s12/√(s11·s22) is exact to 1 ulp — no streaming-float
+    cancellation.  Reference analog: rank-based confidence calibration,
+    ocr_skel/metrics.py."""
+    # 2^17 cents ≈ $1.3k range buckets: extended prices span ~$100k,
+    # so this yields ~80 rank buckets per flag — coarse enough that the
+    # per-group resolution stays a handful of vectorized calls (the
+    # $10.24 buckets acctbal_percent_rank uses would mean 26k pandas
+    # groups here — measured 4× slower end-to-end)
+    RSHIFT = np.int64(17)
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def joint(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "flag": df["l_returnflag"].to_numpy(),
+            "qty": np.rint(df["l_quantity"].to_numpy()).astype(np.int64),
+            "cents": np.rint(
+                df["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+            "one": np.int64(1),
+        })
+        return out.groupby(["flag", "qty", "cents"], as_index=False).agg(
+            cnt=("one", "sum"))
+
+    J = _partial_groupby(ds, ["flag", "qty", "cents"], joint,
+                         [("cnt", "i")]).materialize()  # value counts ≪ facts; consumed 3× below
+
+    # qty marginal → tiny driver table → tie-averaged HALF-ranks
+    # (R = 2r = 2·below + cnt + 1, an integer) + per-flag totals
+    qm = (J.groupby(["flag", "qty"])
+          .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    qm = qm.sort_values(["flag", "qty"], kind="mergesort")
+    below = qm.groupby("flag")["cnt"].cumsum() - qm["cnt"]
+    qm["R1"] = 2 * below + qm["cnt"] + 1
+    n_of = qm.groupby("flag")["cnt"].sum().to_dict()
+    r1_of = {(f, q): int(r)
+             for f, q, r in zip(qm["flag"], qm["qty"], qm["R1"])}
+
+    # price rank offsets: per (flag, range-bucket) subtotals → driver
+    def add_rb(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("flag", pa.string()), ("qty", pa.int64()),
+                              ("cents", pa.int64()), ("cnt", pa.int64()),
+                              ("rb", pa.int64())]).empty_table()
+        rb = b.column("cents").to_numpy() >> RSHIFT
+        return b.append_column("rb", pa.array(rb, pa.int64()))
+
+    J = J.map_batches(add_rb, batch_format="pyarrow")
+    sub = (J.groupby(["flag", "rb"])
+           .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    sub = sub.sort_values(["flag", "rb"], kind="mergesort")
+    sub["offset"] = sub.groupby("flag")["cnt"].cumsum() - sub["cnt"]
+    ref = ray.put((
+        {(f, r): int(o)
+         for f, r, o in zip(sub["flag"], sub["rb"], sub["offset"])},
+        r1_of, n_of))
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        offs, r1m, totals = ray.get(ref)
+        flag, rb = g["flag"].iat[0], int(g["rb"].iat[0])
+        n = int(totals[flag])
+        g = g.sort_values("cents", kind="mergesort")
+        # per-cents totals inside the bucket → local tie-avg half-rank
+        pv = g.groupby("cents", sort=True)["cnt"].sum()
+        below_local = pv.cumsum().shift(fill_value=0)
+        r2_of_val = (2 * (offs[(flag, rb)] + below_local)
+                     + pv + 1).astype(np.int64)
+        d2 = (g["cents"].map(r2_of_val).to_numpy(dtype=np.int64)
+              - (n + 1))
+        d1 = np.fromiter(
+            (r1m[(flag, q)] for q in g["qty"]),
+            dtype=np.int64, count=len(g)) - (n + 1)
+        c = g["cnt"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"flag": [flag],
+                             "s12": [int((c * d1 * d2).sum())],
+                             "s11": [int((c * d1 * d1).sum())],
+                             "s22": [int((c * d2 * d2).sum())]})
+
+    mm = (J.groupby(["flag", "rb"])
+          .map_groups(moments, batch_format="pandas")
+          .groupby("flag")
+          .aggregate(Sum("s12", alias_name="s12"),
+                     Sum("s11", alias_name="s11"),
+                     Sum("s22", alias_name="s22"))
+          .to_pandas())
+    import math
+    rho = [
+        (s12 / (math.sqrt(s11) * math.sqrt(s22)))
+        if s11 > 0 and s22 > 0 else np.nan
+        for s12, s11, s22 in zip(mm["s12"], mm["s11"], mm["s22"])]
+    out = pd.DataFrame({
+        "l_returnflag": mm["flag"],
+        "n_items": mm["flag"].map(n_of).astype(np.int64),
+        "spearman_rho": _round_away(np.asarray(rho), 6),
+    })
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def brand_weighted_median(sf_dir: str) -> pd.DataFrame:
+    """Quantity-WEIGHTED median extended price per part brand (lower
+    weighted median: smallest value whose cumulative weight reaches
+    half the total).  The ``part`` dim is a broadcast lookup; the only
+    exchange moves distinct (brand, cents) weight sums — a value-count
+    table ≪ the fact table — and each per-brand resolution is a
+    vectorized cumsum over that brand's value counts (25 brands, each
+    bounded by its distinct-price count, never its row count)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    ref = ray.put(dict(zip(part["p_partkey"].to_pylist(),
+                           part["p_brand"].to_pylist())))
+    ds = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out = pd.DataFrame({
+            "p_brand": df["l_partkey"].map(lookup),
+            "cents": np.rint(
+                df["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+            "w": np.rint(df["l_quantity"].to_numpy()).astype(np.int64),
+        })
+        return out.groupby(["p_brand", "cents"], as_index=False).agg(
+            w=("w", "sum"))
+
+    vw = _partial_groupby(ds, ["p_brand", "cents"], partials,
+                          [("w", "i")])
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="mergesort")
+        cw = g["w"].cumsum().to_numpy(dtype=np.int64)
+        tw = int(cw[-1])
+        med_cents = int(g["cents"].to_numpy()[
+            np.searchsorted(2 * cw, tw, side="left")])
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iat[0]],
+            "total_qty": [tw],
+            "weighted_median_price": [med_cents / 100.0],
+        })
+
+    out = (vw.groupby("p_brand")
+           .map_groups(resolve, batch_format="pandas").to_pandas())
+    out["total_qty"] = out["total_qty"].astype(np.int64)
+    out["weighted_median_price"] = _round_away(
+        out["weighted_median_price"], 2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def bigram_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-15 collocations by pointwise mutual information — the
+    standard template/boilerplate-phrase detector for web corpora:
+    pmi = ln(p(ab)/(p(a)·p(b))) with p(ab) over the bigram stream and
+    p(a) over the token stream, min bigram count 10.
+
+    Scale shape: unigram and bigram counts each pre-aggregate map-side
+    (one Counter per batch), so both exchanges move vocabulary-sized
+    partials, never the token stream; the unigram table is broadcast
+    (word-level vocabulary fits a worker — the `lang_mixture_plan`
+    discipline; tail-prune it first if it ever didn't); the count
+    filter prunes BEFORE the sort, and only candidate rows are ordered.
+    Float contract with the oracle: the final PMI is recomputed
+    driver-side on the ≤ 64 survivors as float64(int)/float64(int) then
+    ln — bit-identical to DuckDB's BIGINT→DOUBLE division — so values
+    cannot drift from the SQL (the distributed float key only has to
+    land the true top 15 inside the top 64)."""
+    import math
+    from collections import Counter
+
+    MIN_CNT, K, CAND = 10, 15, 64
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def uni_partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for t in df["text"]:
+            counts.update((t or "").split())
+        return pd.DataFrame({"tok": list(counts.keys()),
+                             "c": np.fromiter(counts.values(), np.int64,
+                                              len(counts))})
+
+    uni = _partial_groupby(ds, ["tok"], uni_partials,
+                           [("c", "i")]).to_pandas()
+    nu = int(uni["c"].sum())
+    u_of = dict(zip(uni["tok"], uni["c"].astype(int)))
+    uref = ray.put(u_of)
+
+    def bi_partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        nb = 0
+        for t in df["text"]:
+            toks = (t or "").split()
+            nb += max(len(toks) - 1, 0)
+            counts.update(zip(toks, toks[1:]))
+        keys = list(counts.keys())
+        out = pd.DataFrame({
+            "tok1": [k[0] for k in keys],
+            "tok2": [k[1] for k in keys],
+            "cnt": np.fromiter(counts.values(), np.int64, len(keys)),
+            "nb": np.zeros(len(keys), np.int64),
+        })
+        # one sentinel row per batch carries the bigram-stream total
+        sentinel = pd.DataFrame({"tok1": ["\x00"], "tok2": ["\x00"],
+                                 "cnt": [np.int64(0)],
+                                 "nb": [np.int64(nb)]})
+        return pd.concat([out, sentinel], ignore_index=True)
+
+    bi = _partial_groupby(ds, ["tok1", "tok2"], bi_partials,
+                          [("cnt", "i"), ("nb", "i")]).materialize()
+    nb_total = int(bi.sum("nb"))
+
+    def score(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("tok1", pa.string()), ("tok2", pa.string()),
+                              ("cnt", pa.int64()),
+                              ("key", pa.float64())]).empty_table()
+        df = b.to_pandas()
+        df = df[(df["cnt"] >= MIN_CNT) & (df["tok1"] != "\x00")]
+        u = ray.get(uref)
+        c1 = df["tok1"].map(u).to_numpy(dtype=np.float64)
+        c2 = df["tok2"].map(u).to_numpy(dtype=np.float64)
+        # approximate sort key only — exact PMI is recomputed driver-side
+        key = np.log(df["cnt"].to_numpy(np.float64) / (c1 * c2))
+        out = df[["tok1", "tok2"]].assign(cnt=df["cnt"].astype(np.int64),
+                                          key=key)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cand = (bi.map_batches(score, batch_format="pyarrow")
+            .sort(["key", "tok1", "tok2"], descending=[True, False, False])
+            .limit(CAND).to_pandas())
+
+    out = pd.DataFrame({"tok1": cand["tok1"], "tok2": cand["tok2"],
+                        "cnt": cand["cnt"].astype(np.int64)})
+    out["pmi"] = [
+        float(_round_away(
+            math.log(float(c * nu * nu)
+                     / float(nb_total * u_of[t1] * u_of[t2])), 6))
+        for t1, t2, c in zip(out["tok1"], out["tok2"], out["cnt"])]
+    out = out.sort_values(["pmi", "tok1", "tok2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(K)
+    return out.reset_index(drop=True)
+
+
+def source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Jaccard similarity between the VOCABULARIES (distinct
+    token sets) of each document source — the corpus-overlap audit run
+    before mixing sources into a training blend.
+
+    Scale shape: one dedup exchange moves distinct (source, token)
+    pairs (≤ sources × vocabulary, never the token stream — batches
+    emit per-batch distinct sets); intersections come from a
+    coarse-bucketed token-keyed pass (199 buckets, the `dedup._COARSE`
+    discipline — never one group per token) where each bucket
+    self-merges its own distinct pairs vectorized; per-source vocab
+    sizes are a tiny driver aggregate.  Output is S²/2 rows for S
+    sources — bounded by the source catalog, not the corpus."""
+    COARSE = np.int64(199)
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def st_partials(df: pd.DataFrame) -> pd.DataFrame:
+        seen: set = set()
+        for s, t in zip(df["source"], df["text"]):
+            for w in (t or "").split():
+                seen.add((s, w))
+        return pd.DataFrame({"source": [p[0] for p in seen],
+                             "tok": [p[1] for p in seen],
+                             "one": np.ones(len(seen), np.int64)})
+
+    st = (_partial_groupby(ds, ["source", "tok"], st_partials,
+                           [("one", "i")])
+          .select_columns(["source", "tok"]).materialize())
+
+    sizes = (st.groupby("source").count().to_pandas()
+             .set_index("source")["count()"].to_dict())
+
+    def add_cb(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema([("source", pa.string()), ("tok", pa.string()),
+                              ("cb", pa.int64())]).empty_table()
+        h = pd.util.hash_array(
+            b.column("tok").to_pandas().to_numpy(dtype=object))
+        cb = (h % np.uint64(COARSE)).astype(np.int64)
+        return b.append_column("cb", pa.array(cb, pa.int64()))
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="tok")
+        m = m[m["source_x"] < m["source_y"]]
+        if m.empty:
+            return pd.DataFrame({"source_a": pd.Series([], dtype=str),
+                                 "source_b": pd.Series([], dtype=str),
+                                 "n_common": pd.Series([], dtype=np.int64)})
+        out = (m.groupby(["source_x", "source_y"], as_index=False)
+               .size().rename(columns={"source_x": "source_a",
+                                       "source_y": "source_b",
+                                       "size": "n_common"}))
+        out["n_common"] = out["n_common"].astype(np.int64)
+        return out
+
+    inter = (st.map_batches(add_cb, batch_format="pyarrow")
+             .groupby("cb").map_groups(bucket_pairs, batch_format="pandas")
+             .groupby(["source_a", "source_b"])
+             .aggregate(Sum("n_common", alias_name="n_common"))
+             .to_pandas())
+    na = inter["source_a"].map(sizes).to_numpy(np.int64)
+    nb = inter["source_b"].map(sizes).to_numpy(np.int64)
+    i = inter["n_common"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "source_a": inter["source_a"],
+        "source_b": inter["source_b"],
+        "n_common": i,
+        "jaccard": _round_away(
+            i.astype(np.float64) / (na + nb - i).astype(np.float64), 6),
+    })
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+def zonemap_order_scan(sf_dir: str) -> pd.DataFrame:
+    """Range predicate over a zone-mapped layout
+    (``sources.zonemap``): orders are written once into key-range
+    buckets (hive dirs + a bytes-sized min/max manifest), then the scan
+    plans FROM THE MANIFEST and schedules read tasks only for buckets
+    overlapping the price band — pruned buckets cost zero tasks, zero
+    footer fetches, zero I/O.  The residual filter inside the read
+    re-applies the exact predicate, and revenue is summed in exact
+    int64 cents.  At 100 TB this is the difference between touching
+    ~1/16th of the files and touching all of them; the demo writes the
+    layout to a throwaway tmpdir per call (correctness tier), a real
+    deployment writes it once at ingest.  Pruning is asserted in
+    tests/test_zonemap.py.  Reference analog: metadata-level page
+    pruning before OCR, ocr_skel/pipeline.py:96-118."""
+    import tempfile
+
+    from ..sources import zonemap as zm
+
+    LO, HI = 10_000_000, 20_000_000  # cents: $100k..$200k
+    ds = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority",
+                               "o_totalprice"])
+
+    def add_cents(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column("cents", pa.array([], pa.int64()))
+        cents = np.rint(b.column("o_totalprice")
+                        .to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        return b.append_column("cents", pa.array(cents, pa.int64()))
+
+    path = tempfile.mkdtemp(prefix="zonemap_orders_")
+    zm.write_range_partitioned(
+        ds.map_batches(add_cents, batch_format="pyarrow"), path,
+        key="cents", num_buckets=16)
+
+    scan = zm.read_range(path, LO, HI,
+                         columns=["o_orderpriority", "cents"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"o_orderpriority": df["o_orderpriority"],
+                            "cents": df["cents"].astype(np.int64),
+                            "one": np.int64(1)})
+        return out.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("one", "sum"), cents=("cents", "sum"))
+
+    out = _partial_groupby(scan, ["o_orderpriority"], partials,
+                           [("n_orders", "i"), ("cents", "i")]).to_pandas()
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue"] = _round_away(out["cents"].astype(np.int64) / 100.0, 2)
+    out = out.drop(columns=["cents"])
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

@@ -2720,3 +2720,103 @@ def test_lineitem_measure_stats_planted(tmp_path):
     assert out["total"].tolist() == [0.15, 30.76, 6.0, 0.14]
     assert out["min_v"].tolist() == [0.0, 0.01, 1.0, 0.02]
     assert out["max_v"].tolist() == [0.10, 20.50, 3.0, 0.08]
+
+
+def test_price_qty_spearman_planted_monotone_and_ties(tmp_path):
+    """Perfectly monotone pairs give rho = 1; an anti-monotone flag
+    gives rho = -1; a tie-heavy flag matches the closed-form
+    tie-averaged value."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    # flag A: qty i, price 100*i (monotone); flag B: price reversed;
+    # flag C: qty all equal except one (tie-averaged ranks)
+    qa = np.arange(1, 21, dtype=np.float64)
+    t = pa.table({
+        "l_returnflag": pa.array(["A"] * 20 + ["B"] * 20 + ["C"] * 4),
+        "l_quantity": pa.array(
+            np.concatenate([qa, qa, [5.0, 5.0, 5.0, 9.0]]), pa.float64()),
+        "l_extendedprice": pa.array(
+            np.concatenate([qa * 100, qa[::-1] * 100,
+                            [10.0, 20.0, 30.0, 40.0]]), pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = R.price_qty_spearman(str(tmp_path))
+    got = dict(zip(out["l_returnflag"], out["spearman_rho"]))
+    assert got["A"] == 1.0
+    assert got["B"] == -1.0
+    # flag C closed form: r1 = (2,2,2,4), r2 = (1,2,3,4) → rho = 3/sqrt(3*5)
+    import math
+    want = round(3 / math.sqrt(3 * 5) / 1, 6)
+    assert abs(got["C"] - 0.774597) < 1e-6 and abs(got["C"] - want) < 1e-6
+    assert out["n_items"].tolist() == [20, 20, 4]
+
+
+def test_brand_weighted_median_planted_boundary(tmp_path):
+    """Lower weighted median: with weights (1, 1) the cumulative hits
+    exactly half AT the first value — it must be chosen; with weights
+    (1, 2) the second value carries the majority."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["X", "Y"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_quantity": pa.array([1.0, 1.0, 1.0, 2.0], pa.float64()),
+        "l_extendedprice": pa.array([10.0, 20.0, 10.0, 20.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = R.brand_weighted_median(str(tmp_path))
+    got = dict(zip(out["p_brand"], out["weighted_median_price"]))
+    assert got["X"] == 10.0  # 2*cw(10)=2 >= tw=2 → lower median
+    assert got["Y"] == 20.0  # 2*cw(10)=2 < tw=3 → second value
+    assert dict(zip(out["p_brand"], out["total_qty"])) == {"X": 2, "Y": 3}
+
+
+def test_bigram_pmi_planted_ordering(tmp_path):
+    """A bigram that ALWAYS co-occurs outranks one diluted by extra
+    unigram mass; counts below the threshold never surface."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    # "alpha beta" 12× (alpha/beta appear only together);
+    # "gamma delta" 12× but gamma also appears 24× alone → lower pmi;
+    # "rare pair" 2× → below MIN_CNT, must not appear
+    docs = (["alpha beta"] * 12 + ["gamma delta"] * 12
+            + ["gamma"] * 24 + ["rare pair"] * 2)
+    pq.write_table(pa.table({"text": pa.array(docs)}),
+                   str(tmp_path / "documents.parquet"))
+    out = R.bigram_pmi(str(tmp_path))
+    pairs = list(zip(out["tok1"], out["tok2"]))
+    assert pairs[0] == ("alpha", "beta")
+    assert ("gamma", "delta") in pairs
+    assert ("rare", "pair") not in pairs
+    pmi = dict(zip(pairs, out["pmi"]))
+    assert pmi[("alpha", "beta")] > pmi[("gamma", "delta")]
+
+
+def test_source_vocab_jaccard_planted(tmp_path):
+    """Disjoint vocabularies → 0; identical → 1; half-overlap → 1/3
+    (|A∩B|=1, |A∪B|=3)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    pq.write_table(pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s3", "s4"]),
+        "text": pa.array(["a b", "b a a", "a b", "x y", "b x"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = R.source_vocab_jaccard(str(tmp_path))
+    got = {(a, b): j for a, b, j in
+           zip(out["source_a"], out["source_b"], out["jaccard"])}
+    n = {(a, b): c for a, b, c in
+         zip(out["source_a"], out["source_b"], out["n_common"])}
+    assert got[("s1", "s2")] == 1.0 and n[("s1", "s2")] == 2
+    assert ("s1", "s3") not in got  # zero intersection → no pair row
+    assert got[("s1", "s4")] == round(1 / 3, 6)
+    assert got[("s3", "s4")] == round(1 / 3, 6)
