@@ -357,6 +357,36 @@ def test_connected_components_deep_chain():
     assert set(labels["label"]) == {0}
 
 
+def test_connected_components_pointer_doubling_logarithmic_rounds():
+    """Diameter-16 chain: plain hash-min moves the min ONE hop per round
+    (needs 16 rounds), pointer doubling squares the compression distance
+    past warmup, so the same chain resolves — and detects convergence —
+    in O(log d) rounds."""
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.cc import connected_component_labels
+
+    n = 17
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(list(range(n)), pa.int64())}))
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array(list(range(n - 1)), pa.int64()),
+        "id_b": pa.array(list(range(1, n)), pa.int64()),
+    }))
+    # plain propagation after 3 rounds: the tail is still >3 hops from 0
+    plain = connected_component_labels(
+        ids, pairs, max_rounds=3, doubling_after=10**9, num_buckets=8
+    ).to_pandas()
+    assert set(plain["label"]) != {0}
+    # with doubling (default): reach 1,2 warmup then 6,14,30 → labels all
+    # 0 after round 5, stable-sum detection on round 6
+    stats: dict = {}
+    doubled = connected_component_labels(
+        ids, pairs, num_buckets=8, stats=stats
+    ).to_pandas()
+    assert set(doubled["label"]) == {0}
+    assert stats["rounds"] <= 7, stats
+
+
 def test_minhash_dedup_strategies_agree():
     from occular_ocr_ray.stages.dedup import minhash_dedup_keep_ids
 
