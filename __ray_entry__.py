@@ -224,6 +224,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_qty_spearman": R.price_qty_spearman,
         # weighted median over a (brand, value)->weight count exchange
         "brand_weighted_median": R.brand_weighted_median,
+        # robust stats family: exact boundary-split row trimming and
+        # dependent-median MAD, both from ONE value-count exchange
+        "brand_trimmed_mean": R.brand_trimmed_mean,
+        "brand_price_mad": R.brand_price_mad,
+        # contingency-table independence test (exact marginals, shared
+        # IEEE expression tree with the SQL)
+        "segment_priority_chi2": R.segment_priority_chi2,
         # PMI collocations: vocab-sized exchanges + broadcast unigram table
         "bigram_pmi": R.bigram_pmi,
         # pairwise source-vocabulary overlap via coarse token-keyed pass
@@ -1825,6 +1832,85 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(min(cents) FILTER (WHERE 2 * cw >= tw) / 100.0, 2)
                      AS weighted_median_price
             FROM cum GROUP BY p_brand ORDER BY p_brand
+        """,
+        "brand_trimmed_mean": """
+            WITH j AS (SELECT p_brand,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS cents
+                       FROM lineitem JOIN part ON p_partkey = l_partkey),
+            r AS (SELECT p_brand, cents,
+                         row_number() OVER (PARTITION BY p_brand
+                                            ORDER BY cents) AS rn,
+                         count(*) OVER (PARTITION BY p_brand) AS n
+                  FROM j)
+            SELECT p_brand,
+                   CAST(max(n) AS BIGINT) AS n_rows,
+                   round(CAST(sum(CASE WHEN rn > n // 10
+                                        AND rn <= n - n // 10
+                                       THEN cents ELSE 0 END) AS DOUBLE)
+                         / (100.0 * (max(n) - 2 * (max(n) // 10))), 4)
+                     AS trimmed_mean_price
+            FROM r GROUP BY p_brand ORDER BY p_brand
+        """,
+        "brand_price_mad": """
+            WITH j AS (SELECT p_brand,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                AS cents
+                       FROM lineitem JOIN part ON p_partkey = l_partkey),
+            vw AS (SELECT p_brand, cents, CAST(count(*) AS BIGINT) AS w
+                   FROM j GROUP BY 1, 2),
+            cum AS (SELECT p_brand, cents,
+                           sum(w) OVER (PARTITION BY p_brand
+                                        ORDER BY cents) AS cw,
+                           sum(w) OVER (PARTITION BY p_brand) AS tw
+                    FROM vw),
+            med AS (SELECT p_brand,
+                           min(cents) FILTER (WHERE 2 * cw >= tw) AS med
+                    FROM cum GROUP BY 1),
+            dev AS (SELECT j.p_brand, abs(j.cents - med.med) AS d
+                    FROM j JOIN med ON j.p_brand = med.p_brand),
+            dvw AS (SELECT p_brand, d, CAST(count(*) AS BIGINT) AS w
+                    FROM dev GROUP BY 1, 2),
+            dcum AS (SELECT p_brand, d,
+                            sum(w) OVER (PARTITION BY p_brand
+                                         ORDER BY d) AS cw,
+                            sum(w) OVER (PARTITION BY p_brand) AS tw
+                     FROM dvw)
+            SELECT dcum.p_brand,
+                   round(max(med.med) / 100.0, 2) AS median_price,
+                   round(min(d) FILTER (WHERE 2 * cw >= tw) / 100.0, 2)
+                     AS mad_price
+            FROM dcum JOIN med ON dcum.p_brand = med.p_brand
+            GROUP BY dcum.p_brand ORDER BY dcum.p_brand
+        """,
+        "segment_priority_chi2": """
+            WITH ct AS (SELECT c_mktsegment AS segment,
+                               o_orderpriority AS priority,
+                               CAST(count(*) AS BIGINT) AS observed
+                        FROM orders JOIN customer ON o_custkey = c_custkey
+                        GROUP BY 1, 2),
+            tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM ct),
+            rt AS (SELECT segment, CAST(sum(observed) AS BIGINT) AS r
+                   FROM ct GROUP BY 1),
+            colt AS (SELECT priority, CAST(sum(observed) AS BIGINT) AS c
+                     FROM ct GROUP BY 1),
+            cells AS (SELECT rt.segment, colt.priority,
+                             COALESCE(ct.observed, 0) AS observed,
+                             CAST(rt.r * colt.c AS DOUBLE) / tot.n AS e
+                      FROM rt CROSS JOIN colt CROSS JOIN tot
+                      LEFT JOIN ct ON ct.segment = rt.segment
+                                  AND ct.priority = colt.priority)
+            SELECT segment, priority, observed,
+                   round(e, 4) AS expected,
+                   round((observed - e) * (observed - e) / e, 6) AS contrib
+            FROM cells
+            UNION ALL
+            SELECT '__total', '', (SELECT n FROM tot),
+                   CAST((SELECT n FROM tot) AS DOUBLE),
+                   round(sum(round((observed - e) * (observed - e) / e, 6)),
+                         6)
+            FROM cells
+            ORDER BY segment, priority
         """,
         "bigram_pmi": r"""
             WITH docs AS (SELECT trim(text) AS t FROM documents

@@ -5270,6 +5270,186 @@ def brand_weighted_median(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
+def _ksmallest_sum(c: np.ndarray, w: np.ndarray, k: int) -> int:
+    """Exact sum of the k smallest ROWS of the sorted value-count
+    multiset (values ``c`` ascending, weights ``w``): whole values below
+    the cut plus the partial weight of the straddling value — identical
+    to sorting every row and summing the first k, with no row blowup."""
+    if k <= 0:
+        return 0
+    cw = np.cumsum(w)
+    idx = int(np.searchsorted(cw, k, side="left"))  # first cw >= k
+    prev = int(cw[idx - 1]) if idx > 0 else 0
+    return int(np.dot(c[:idx], w[:idx])) + (k - prev) * int(c[idx])
+
+
+def brand_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """10%-per-side trimmed mean of extended price per part brand — the
+    outlier-robust location estimate (k = n//10 rows cut from EACH end
+    of the per-brand sorted multiset).  Exactness: boundary values that
+    straddle the cut are trimmed partially BY WEIGHT, so the result is
+    identical to physically sorting all rows and dropping k per side —
+    tie order among equal prices cannot matter.  Scale shape: the one
+    exchange moves distinct (brand, cents) value counts ≪ fact rows
+    (the ``brand_weighted_median`` discipline); each brand resolves via
+    two vectorized cumsum scans; the single float division runs on
+    exact int64 sums, bit-identical to the SQL's BIGINT→DOUBLE math."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    ref = ray.put(dict(zip(part["p_partkey"].to_pylist(),
+                           part["p_brand"].to_pylist())))
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out = pd.DataFrame({
+            "p_brand": df["l_partkey"].map(lookup),
+            "cents": np.rint(
+                df["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+        })
+        g = out.groupby(["p_brand", "cents"], as_index=False).size()
+        return g.rename(columns={"size": "w"})
+
+    vw = _partial_groupby(ds, ["p_brand", "cents"], partials, [("w", "i")])
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cents", kind="mergesort")
+        c = g["cents"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        n = int(w.sum())
+        k = n // 10
+        rem = (int(np.dot(c, w))
+               - _ksmallest_sum(c, w, k)
+               - _ksmallest_sum(-c[::-1], w[::-1], k) * -1)
+        cnt = n - 2 * k
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iat[0]],
+            "n_rows": [n],
+            "trimmed_mean_price": [float(rem) / (100.0 * cnt)],
+        })
+
+    out = (vw.groupby("p_brand")
+           .map_groups(resolve, batch_format="pandas").to_pandas())
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["trimmed_mean_price"] = _round_away(out["trimmed_mean_price"], 4)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def brand_price_mad(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation of extended price per brand — the
+    robust spread estimate (median of |x − median|).  Both medians are
+    the LOWER median (smallest value whose cumulative count reaches
+    half), matching ``brand_weighted_median``'s convention so the SQL
+    window replica is exact.  Scale shape: the dependent second pass
+    needs NO second corpus scan — |x − med| re-weights the SAME
+    per-brand (cents → count) value-count table, so one exchange serves
+    both medians and the resolve is two vectorized cumsum scans over a
+    distinct-value-bounded frame."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    ref = ray.put(dict(zip(part["p_partkey"].to_pylist(),
+                           part["p_brand"].to_pylist())))
+    ds = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out = pd.DataFrame({
+            "p_brand": df["l_partkey"].map(lookup),
+            "cents": np.rint(
+                df["l_extendedprice"].to_numpy() * 100).astype(np.int64),
+        })
+        g = out.groupby(["p_brand", "cents"], as_index=False).size()
+        return g.rename(columns={"size": "w"})
+
+    vw = _partial_groupby(ds, ["p_brand", "cents"], partials, [("w", "i")])
+
+    def _lower_median(vals: np.ndarray, w: np.ndarray) -> int:
+        order = np.argsort(vals, kind="mergesort")
+        v, ww = vals[order], w[order]
+        cw = np.cumsum(ww)
+        return int(v[np.searchsorted(2 * cw, int(cw[-1]), side="left")])
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["cents"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        med = _lower_median(c, w)
+        mad = _lower_median(np.abs(c - med), w)
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iat[0]],
+            "median_price": [med / 100.0],
+            "mad_price": [mad / 100.0],
+        })
+
+    out = (vw.groupby("p_brand")
+           .map_groups(resolve, batch_format="pandas").to_pandas())
+    out["median_price"] = _round_away(out["median_price"], 2)
+    out["mad_price"] = _round_away(out["mad_price"], 2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def segment_priority_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority — the contingency-table hypothesis test a data
+    auditor runs to detect sampling / routing bias between categorical
+    facets.  Scale shape: ONE map-side-combined (segment, priority)
+    count exchange; the |segments|×|priorities| contingency table (25
+    cells, zero cells reindexed in — they still contribute e each)
+    resolves driver-side.  Float contract with the SQL oracle:
+    every cell's expected count and contribution use the identical IEEE
+    expression tree over exact int64 marginals (< 2⁵³, so int→double is
+    lossless) — e = double(r·c)/n, contrib = (O−e)·(O−e)/e — and the
+    total chi² sums the per-cell ROUNDED contributions, whose decimal
+    sum is a multiple of 1e-6 and therefore snaps to the same double
+    under any summation order."""
+    o = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                           cust["c_mktsegment"].to_pylist())))
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        out = pd.DataFrame({
+            "segment": df["o_custkey"].map(lookup),
+            "priority": df["o_orderpriority"],
+        })
+        g = out.groupby(["segment", "priority"], as_index=False).size()
+        return g.rename(columns={"size": "observed"})
+
+    ct = _partial_groupby(o, ["segment", "priority"], partials,
+                          [("observed", "i")]).to_pandas()
+    ct["observed"] = ct["observed"].astype(np.int64)
+    # zero cells matter: a (segment, priority) combination that never
+    # occurs still contributes (0−e)²/e = e — reindex to the full
+    # marginal cross product (bounded: |segments|×|priorities|)
+    full = pd.MultiIndex.from_product(
+        [sorted(ct["segment"].unique()), sorted(ct["priority"].unique())],
+        names=["segment", "priority"]).to_frame(index=False)
+    ct = full.merge(ct, how="left")
+    ct["observed"] = ct["observed"].fillna(0).astype(np.int64)
+    n = int(ct["observed"].sum())
+    r = ct.groupby("segment")["observed"].transform("sum").astype(np.int64)
+    c = ct.groupby("priority")["observed"].transform("sum").astype(np.int64)
+    e = np.array([(int(ri) * int(ci)) / n for ri, ci in zip(r, c)],
+                 dtype=np.float64)
+    obs = ct["observed"].to_numpy(np.float64)
+    contrib = (obs - e) * (obs - e) / e
+    cells = pd.DataFrame({
+        "segment": ct["segment"], "priority": ct["priority"],
+        "observed": ct["observed"],
+        "expected": _round_away(e, 4),
+        "contrib": _round_away(contrib, 6),
+    })
+    total = pd.DataFrame({
+        "segment": ["__total"], "priority": [""],
+        "observed": [np.int64(n)], "expected": [float(n)],
+        "contrib": _round_away(
+            np.array([float(np.sum(_round_away(contrib, 6)))]), 6),
+    })
+    return (pd.concat([cells, total], ignore_index=True)
+            .sort_values(["segment", "priority"]).reset_index(drop=True))
+
+
 def bigram_pmi(sf_dir: str) -> pd.DataFrame:
     """Top-15 collocations by pointwise mutual information — the
     standard template/boilerplate-phrase detector for web corpora:

@@ -2807,6 +2807,96 @@ def test_brand_weighted_median_planted_boundary(tmp_path):
     assert dict(zip(out["p_brand"], out["total_qty"])) == {"X": 2, "Y": 3}
 
 
+def test_brand_trimmed_mean_planted(tmp_path):
+    """k = n//10 rows cut per side; a cut that lands INSIDE a repeated
+    value trims it partially by weight; n < 10 degrades to the plain
+    mean."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["X", "Y", "Z"]),
+    }), str(tmp_path / "part.parquet"))
+    # X: 1..10 → drop 1 and 10, mean(2..9) = 5.5
+    # Y: five 10s, four 20s, one 30 → drop one 10 (partial: value has
+    #    weight 5) and the 30 → (4·10 + 4·20)/8 = 15.0
+    # Z: n=3 < 10 → k=0 → plain mean of (10, 20, 40) = 23.3333
+    keys = [1] * 10 + [2] * 10 + [3] * 3
+    prices = ([float(i) for i in range(1, 11)]
+              + [10.0] * 5 + [20.0] * 4 + [30.0]
+              + [10.0, 20.0, 40.0])
+    pq.write_table(pa.table({
+        "l_partkey": pa.array(keys, pa.int64()),
+        "l_extendedprice": pa.array(prices, pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = R.brand_trimmed_mean(str(tmp_path))
+    got = dict(zip(out["p_brand"], out["trimmed_mean_price"]))
+    assert got == {"X": 5.5, "Y": 15.0, "Z": 23.3333}
+    assert dict(zip(out["p_brand"], out["n_rows"])) == {"X": 10, "Y": 10, "Z": 3}
+
+
+def test_brand_price_mad_planted(tmp_path):
+    """Lower-median convention on both passes; the MAD shrugs off an
+    outlier that would wreck a stddev."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["X", "Y"]),
+    }), str(tmp_path / "part.parquet"))
+    # X: (1,2,3,4,100) → med 3, |d| = (2,1,0,1,97) → mad 1
+    # Y: (10,20,30,40) even n → LOWER med 20, |d| = (10,0,10,20) → mad 10
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1] * 5 + [2] * 4, pa.int64()),
+        "l_extendedprice": pa.array(
+            [1.0, 2.0, 3.0, 4.0, 100.0, 10.0, 20.0, 30.0, 40.0],
+            pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = R.brand_price_mad(str(tmp_path))
+    assert dict(zip(out["p_brand"], out["median_price"])) == {"X": 3.0, "Y": 20.0}
+    assert dict(zip(out["p_brand"], out["mad_price"])) == {"X": 1.0, "Y": 10.0}
+
+
+def test_segment_priority_chi2_planted(tmp_path):
+    """A perfectly proportional table scores chi² = 0; a diagonal 2×2
+    (with its zero cells reindexed in) scores the closed-form n."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    def write(custs, orders):
+        pq.write_table(pa.table({
+            "c_custkey": pa.array([k for k, _ in custs], pa.int64()),
+            "c_mktsegment": pa.array([s for _, s in custs]),
+        }), str(tmp_path / "customer.parquet"))
+        pq.write_table(pa.table({
+            "o_custkey": pa.array([k for k, _ in orders], pa.int64()),
+            "o_orderpriority": pa.array([p for _, p in orders]),
+        }), str(tmp_path / "orders.parquet"))
+
+    # independent: A row = (10, 20), B row = (20, 40) — e == observed
+    write([(1, "A"), (2, "B")],
+          [(1, "P")] * 10 + [(1, "Q")] * 20 + [(2, "P")] * 20 + [(2, "Q")] * 40)
+    out = R.segment_priority_chi2(str(tmp_path))
+    total = out[out["segment"] == "__total"]
+    assert total["contrib"].iloc[0] == 0.0
+    assert total["observed"].iloc[0] == 90
+    assert (out[out["segment"] != "__total"]["contrib"] == 0.0).all()
+
+    # diagonal: A-P 10, B-Q 10, zero off-diagonal → every e = 5,
+    # contribs 5+5+5+5 → chi2 = 20 = n (perfect association, 2×2)
+    write([(1, "A"), (2, "B")], [(1, "P")] * 10 + [(2, "Q")] * 10)
+    out = R.segment_priority_chi2(str(tmp_path))
+    assert len(out) == 5  # 4 cells (2 reindexed zeros) + total
+    zero_cells = out[(out["observed"] == 0) & (out["segment"] != "__total")]
+    assert len(zero_cells) == 2 and (zero_cells["expected"] == 5.0).all()
+    assert out[out["segment"] == "__total"]["contrib"].iloc[0] == 20.0
+
+
 def test_bigram_pmi_planted_ordering(tmp_path):
     """A bigram that ALWAYS co-occurs outranks one diluted by extra
     unigram mass; counts below the threshold never surface."""
