@@ -2313,14 +2313,21 @@ def supplier_pagerank(sf_dir: str) -> pd.DataFrame:
             "dst": pa.concat_arrays([s.combine_chunks(), c.combine_chunks()]),
         })
 
-    edges = oj.map_batches(to_edges, batch_format="pyarrow")
+    # materialize: `edges` feeds BOTH the outdegree aggregate and the
+    # edges_w join, and `outdeg` feeds BOTH edges_w and the rank-vector
+    # init — left lazy, each second consumer re-executes the whole
+    # lineitem⋈orders join upstream (measured at sf0.01: whole query 17.1 s → 5.7 s
+    # once both are pinned; iterations were already 0.34 s)
+    edges = oj.map_batches(to_edges, batch_format="pyarrow") \
+        .repartition(nb).materialize()
 
     def deg_partials(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("src", as_index=False).size()
         return pd.DataFrame({"src": g["src"].to_numpy(np.int64),
                              "d": g["size"].to_numpy(np.int64)})
 
-    outdeg = _partial_groupby(edges, ["src"], deg_partials, [("d", "i")])
+    outdeg = _partial_groupby(edges, ["src"], deg_partials, [("d", "i")]) \
+        .repartition(nb).materialize()
     # repartition(nb): groupby/join shuffles emit far more (mostly tiny)
     # blocks than buckets; the materialized iteration invariant must not
     # carry that fragmentation into every round's task count.
@@ -4980,8 +4987,10 @@ def part_name_clusters(sf_dir: str) -> pd.DataFrame:
     pairs_ds = rd.from_pandas(pd.DataFrame(
         {"id_a": pairs["name_a"].map(rank).astype(np.int64),
          "id_b": pairs["name_b"].map(rank).astype(np.int64)}))
+    from ..stages.joins import _default_num_buckets
+    nb = max(8, min(_default_num_buckets(), len(names) // 50_000 + 1))
     labels = connected_component_labels(
-        ids_ds, pairs_ds, id_col="nid", num_buckets=32).to_pandas()
+        ids_ds, pairs_ds, id_col="nid", num_buckets=nb).to_pandas()
     arr = np.asarray(names, dtype=object)
     out = pd.DataFrame({
         "p_name": arr[labels["nid"].to_numpy()],

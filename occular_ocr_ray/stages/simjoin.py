@@ -41,6 +41,7 @@ Scale shape (the whole point of the operator):
 from __future__ import annotations
 
 import math
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -48,6 +49,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
+
+from .dedup import _COARSE
 
 
 def char_ngrams(s: str, n: int = 3) -> frozenset:
@@ -76,7 +79,11 @@ def similarity_self_join(
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
 
-    distinct = ds.groupby(col).count()
+    # materialized: three downstream consumers (gram-DF pass, prefix
+    # emission, verify-set build) would each re-execute the distinct
+    # exchange — and the read feeding it — if left lazy.  Size is the
+    # phase-1 contract: the VOCABULARY, not the table.
+    distinct = ds.groupby(col).count().materialize()
 
     # Phase 2: gram document frequencies (bounded vocabulary).
     def gram_partials(batch: pa.Table) -> pa.Table:
@@ -116,11 +123,13 @@ def similarity_self_join(
                     grams_out.append(g)
                     names.append(v)
                     sizes.append(len(gs))
+            coarse = [zlib.crc32(g.encode()) % _COARSE for g in grams_out]
             return pa.table(
                 {
                     "gram": pa.array(grams_out, pa.string()),
                     "name": pa.array(names, pa.string()),
                     "size": pa.array(sizes, pa.int64()),
+                    "coarse": pa.array(coarse, pa.int32()),
                 }
             )
 
@@ -129,25 +138,31 @@ def similarity_self_join(
     )
 
     # Phase 4: in-bucket candidate pairs + map-side pair dedup.  The
-    # rarity-first prefix keeps buckets small; the groupby key space is
-    # the bounded gram vocabulary.
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        names = g["name"].to_numpy()
-        sizes = g["size"].to_numpy()
-        order = np.argsort(names, kind="stable")
-        names, sizes = names[order], sizes[order]
-        a_out, b_out = [], []
-        for i in range(len(names)):
-            for j in range(i + 1, len(names)):
-                lo, hi = sorted((sizes[i], sizes[j]))
-                if lo < threshold * hi:  # length filter
-                    continue
-                a_out.append(names[i])
-                b_out.append(names[j])
-        return pd.DataFrame({"name_a": a_out, "name_b": b_out})
+    # rarity-first prefix keeps buckets small.  The exchange groups by
+    # COARSE gram hash (crc32 % 199 — process-seed-independent), not by
+    # gram: the gram vocabulary is ~50k groups, and one pandas
+    # map_groups invocation per gram is exactly the per-group overhead
+    # the LSH path already solved with coarse buckets (dedup.py
+    # `_COARSE` discipline); the fine per-gram resolution happens
+    # vectorized-enough INSIDE each coarse group.
+    def bucket_pairs(cg: pd.DataFrame) -> pd.DataFrame:
+        a_all, b_all = [], []
+        for _, g in cg.groupby("gram", sort=False):
+            names = g["name"].to_numpy()
+            sizes = g["size"].to_numpy()
+            order = np.argsort(names, kind="stable")
+            names, sizes = names[order], sizes[order]
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    lo, hi = sorted((sizes[i], sizes[j]))
+                    if lo < threshold * hi:  # length filter
+                        continue
+                    a_all.append(names[i])
+                    b_all.append(names[j])
+        return pd.DataFrame({"name_a": a_all, "name_b": b_all})
 
     cands = (
-        prefixes.groupby("gram")
+        prefixes.groupby("coarse")
         .map_groups(bucket_pairs, batch_format="pandas")
         .groupby(["name_a", "name_b"])
         .count()
