@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": R.bigram_pmi,
         # pairwise source-vocabulary overlap via coarse token-keyed pass
         "source_vocab_jaccard": R.source_vocab_jaccard,
+        # tokenizer-coverage audit: per-source OOV rate vs broadcast top-V
+        "source_oov_rate": R.source_oov_rate,
+        # corpus-balance audit: Gini over the |sources|-bounded size table
+        "source_size_gini": R.source_size_gini,
         # zone-map layout: manifest-planned range scan, pruned read tasks
         "zonemap_order_scan": R.zonemap_order_scan,
         # multimodal plumbing (rows-only)
@@ -1832,6 +1836,38 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(min(cents) FILTER (WHERE 2 * cw >= tw) / 100.0, 2)
                      AS weighted_median_price
             FROM cum GROUP BY p_brand ORDER BY p_brand
+        """,
+        "source_oov_rate": """
+            WITH docs AS (SELECT source, trim(text) AS t FROM documents),
+            toks AS (SELECT source,
+                            unnest(string_split_regex(t, '\\s+')) AS w
+                     FROM docs WHERE t IS NOT NULL AND t <> ''),
+            cnt AS (SELECT w, count(*) AS freq FROM toks
+                    GROUP BY w HAVING count(*) >= 5),
+            vocab AS (SELECT w FROM cnt ORDER BY freq DESC, w LIMIT 256)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (
+                       WHERE w NOT IN (SELECT w FROM vocab)) AS BIGINT)
+                     AS n_oov,
+                   round(CAST(count(*) FILTER (
+                       WHERE w NOT IN (SELECT w FROM vocab)) AS DOUBLE)
+                         / count(*), 6) AS oov_rate
+            FROM toks GROUP BY source ORDER BY source
+        """,
+        "source_size_gini": """
+            WITH sz AS (SELECT source, CAST(count(*) AS BIGINT) AS s
+                        FROM documents GROUP BY source),
+            r AS (SELECT s,
+                         row_number() OVER (ORDER BY s, source) AS i,
+                         count(*) OVER () AS n,
+                         sum(s) OVER () AS tot
+                  FROM sz)
+            SELECT round(CAST(2 * sum(i * s) - (max(n) + 1) * max(tot)
+                              AS DOUBLE) / (max(n) * max(tot)), 6) AS gini,
+                   CAST(max(n) AS BIGINT) AS n_sources,
+                   CAST(max(tot) AS BIGINT) AS n_docs
+            FROM r
         """,
         "brand_trimmed_mean": """
             WITH j AS (SELECT p_brand,

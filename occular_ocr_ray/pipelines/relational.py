@@ -2412,6 +2412,99 @@ def vocab_build(sf_dir: str) -> pd.DataFrame:
     return out[["token_id", "token", "freq"]]
 
 
+def source_oov_rate(sf_dir: str, min_freq: int = 5,
+                    vocab_size: int = 256) -> pd.DataFrame:
+    """Per-source out-of-vocabulary token rate against the corpus top-V
+    vocabulary — the tokenizer-coverage audit a training pipeline runs
+    per provider/crawl before mixing (a source whose OOV rate spikes is
+    mis-encoded, mis-languaged, or template junk).
+
+    Scale shape: the vocabulary is built exactly like ``vocab_build``
+    (map-side Counter partials → word-keyed exchange of vocabulary-sized
+    rows → tail prune BEFORE the deterministic (freq DESC, token ASC)
+    top-V sort) and broadcast ONCE as a set; the corpus then streams a
+    single pass emitting (source, n_tokens, n_oov) partials — the final
+    exchange moves |sources| rows.  Exact int64 counts; the one float
+    division per source happens on exact ints, bit-identical to the
+    SQL's BIGINT→DOUBLE math."""
+    from collections import Counter
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def tok_partials(df: pd.DataFrame) -> pd.DataFrame:
+        counts: Counter = Counter()
+        for t in df["text"]:
+            counts.update((t or "").split())
+        return pd.DataFrame({"w": list(counts.keys()),
+                             "freq": np.fromiter(counts.values(),
+                                                 dtype=np.int64)})
+
+    cnt = _partial_groupby(ds, ["w"], tok_partials, [("freq", "i")])
+    cnt = cnt.map_batches(lambda df: df[df["freq"] >= min_freq],
+                          batch_format="pandas")
+    vocab = (cnt.sort(["freq", "w"], descending=[True, False])
+             .limit(vocab_size).to_pandas())
+    vref = ray.put(frozenset(vocab["w"].astype(str)))
+
+    def oov_partials(df: pd.DataFrame) -> pd.DataFrame:
+        vset = ray.get(vref)
+        tot: dict = {}
+        oov: dict = {}
+        for s, t in zip(df["source"], df["text"]):
+            toks = (t or "").split()
+            tot[s] = tot.get(s, 0) + len(toks)
+            oov[s] = oov.get(s, 0) + sum(1 for w in toks if w not in vset)
+        return pd.DataFrame({
+            "source": list(tot.keys()),
+            "n_tokens": np.fromiter(tot.values(), dtype=np.int64),
+            "n_oov": np.fromiter(oov.values(), dtype=np.int64),
+        })
+
+    out = _partial_groupby(ds, ["source"], oov_partials,
+                           [("n_tokens", "i"), ("n_oov", "i")]).to_pandas()
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["n_oov"] = out["n_oov"].astype(np.int64)
+    # a source whose every doc is empty has no token rows at all in the
+    # SQL replica — drop it rather than emit a 0/0 row
+    out = out[out["n_tokens"] > 0]
+    out["oov_rate"] = _round_away(out["n_oov"] / out["n_tokens"], 6)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+def source_size_gini(sf_dir: str) -> pd.DataFrame:
+    """Corpus-balance audit: Gini coefficient of per-source document
+    counts — the one-number skew alarm a mixing pipeline watches (0 =
+    perfectly balanced providers, →1 = one provider dominates).
+
+    Scale shape: ONE map-side-combined (source, count) exchange — the
+    aggregate is |sources|-bounded — then the closed-form resolve on
+    the driver: with sizes ascending, gini = (2·Σ i·sᵢ − (n+1)·Σsᵢ) /
+    (n·Σsᵢ), all int64 until a single float division shared
+    bit-for-bit with the SQL.  Tie order among equal sizes cannot
+    change Σ i·sᵢ (equal terms under permuted ranks), but both sides
+    still order by (size, source) so the replica is rank-identical."""
+    ds = _t(sf_dir, "documents", ["source"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("source", as_index=False).size()
+        return pd.DataFrame({"source": g["source"],
+                             "s": g["size"].to_numpy(np.int64)})
+
+    sz = _partial_groupby(ds, ["source"], partials, [("s", "i")]).to_pandas()
+    sz["s"] = sz["s"].astype(np.int64)
+    sz = sz.sort_values(["s", "source"], kind="mergesort").reset_index(drop=True)
+    s = sz["s"].to_numpy(np.int64)
+    n = len(s)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    tot = int(s.sum())
+    num = 2 * int(np.dot(i, s)) - (n + 1) * tot
+    return pd.DataFrame({
+        "gini": _round_away(np.array([float(num) / (n * tot)]), 6),
+        "n_sources": pd.Series([n], dtype="int64"),
+        "n_docs": pd.Series([tot], dtype="int64"),
+    })
+
+
 def inverted_index_heads(sf_dir: str) -> pd.DataFrame:
     """Inverted-index build (posting-list heads): term → document
     frequency + the first ``HEAD`` doc_ids containing it — the text

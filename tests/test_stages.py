@@ -2861,6 +2861,60 @@ def test_brand_price_mad_planted(tmp_path):
     assert dict(zip(out["p_brand"], out["mad_price"])) == {"X": 1.0, "Y": 10.0}
 
 
+def test_source_oov_rate_planted(tmp_path):
+    """Tokens below min_freq are OOV even when frequent within one
+    source; the top-V cap evicts the rarest in-threshold token; all-
+    empty sources vanish (matching the SQL replica)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    # corpus freqs: alpha 5 (vocab), beta 4 (< min_freq → OOV),
+    # gamma 5 (vocab) but with vocab_size=1 only alpha survives (tie on
+    # freq 5 → token ASC → alpha)
+    pq.write_table(pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s3"]),
+        "text": pa.array([
+            "alpha alpha beta",
+            "gamma gamma gamma",
+            "alpha alpha alpha beta beta beta gamma gamma",
+            "",
+        ]),
+    }), str(tmp_path / "documents.parquet"))
+    out = R.source_oov_rate(str(tmp_path), min_freq=5, vocab_size=256)
+    assert out["source"].tolist() == ["s1", "s2"]  # s3 all-empty → gone
+    got = out.set_index("source")
+    assert got.loc["s1", "n_tokens"] == 6 and got.loc["s1", "n_oov"] == 1
+    assert got.loc["s2", "n_tokens"] == 8 and got.loc["s2", "n_oov"] == 3
+    assert got.loc["s2", "oov_rate"] == 0.375
+
+    out1 = R.source_oov_rate(str(tmp_path), min_freq=5, vocab_size=1)
+    got1 = out1.set_index("source")
+    # gamma evicted by the cap → its 5 occurrences turn OOV
+    assert got1.loc["s1", "n_oov"] == 4 and got1.loc["s2", "n_oov"] == 5
+
+
+def test_source_size_gini_planted(tmp_path):
+    """Closed forms: equal sizes → 0; sizes (1, 9) → (2·(1·1+2·9) − 3·10)
+    / (2·10) = 8/20 = 0.4."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a"] * 5 + ["b"] * 5),
+    }), str(tmp_path / "documents.parquet"))
+    out = R.source_size_gini(str(tmp_path))
+    assert out["gini"].iloc[0] == 0.0
+    assert out["n_sources"].iloc[0] == 2 and out["n_docs"].iloc[0] == 10
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a"] + ["b"] * 9),
+    }), str(tmp_path / "documents.parquet"))
+    out = R.source_size_gini(str(tmp_path))
+    assert out["gini"].iloc[0] == 0.4
+
+
 def test_segment_priority_chi2_planted(tmp_path):
     """A perfectly proportional table scores chi² = 0; a diagonal 2×2
     (with its zero cells reindexed in) scores the closed-form n."""
