@@ -1675,7 +1675,9 @@ def packing_plan(sf_dir: str, *, chunk_docs: int = 1024) -> pd.DataFrame:
                                  dtype=np.int64),
         })
 
-    triples = ds.map_batches(toks, batch_format="pandas")
+    # materialized: phase A (offsets) and phase B (bin assignment) both
+    # consume the tokenized triples — left lazy, tokenization runs twice
+    triples = ds.map_batches(toks, batch_format="pandas").materialize()
 
     # phase A: per-(lang, chunk) token totals — map-side partials, tiny
     # driver merge (langs × chunks rows), per-lang cumsum → offsets
@@ -2102,7 +2104,10 @@ def quality_gate_p75(sf_dir: str) -> pd.DataFrame:
             "quality": pa.array(q, pa.float64()),
         })
 
-    qds = ds.map_batches(scored, batch_format="pyarrow")
+    # materialized: the per-lang p75 pass and the gate pass both consume
+    # qds — left lazy, the quality kernel re-scores the corpus twice;
+    # the pinned table is 3 narrow columns, far cheaper than a re-score
+    qds = ds.map_batches(scored, batch_format="pyarrow").materialize()
 
     def p75(g: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(g["quality"].to_numpy())
@@ -4326,9 +4331,12 @@ def nation_market_share(sf_dir: str) -> pd.DataFrame:
                 ["o_orderkey", "o_custkey", "o_orderdate"]
                 ).map_batches(ord_pre, batch_format="pyarrow")
     from ..stages.joins import data_scaled_join
-    joined = data_scaled_join(li, orders, on=("l_orderkey",),
-                              right_on=("o_orderkey",),
-                              sizing_rows=li.count())
+    joined = data_scaled_join(
+        li, orders, on=("l_orderkey",), right_on=("o_orderkey",),
+        # size from the RAW read's metadata count — li.count() on the
+        # transformed dataset would execute the whole filter map once
+        # just for sizing, then again for the join
+        sizing_rows=_t(sf_dir, "lineitem", ["l_orderkey"]).count())
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         _, _, ts = ray.get(ref)
@@ -4687,7 +4695,10 @@ def acctbal_percent_rank(sf_dir: str) -> pd.DataFrame:
         rb = b.column("cents").to_numpy() >> RSHIFT  # arithmetic: floor
         return b.append_column("rb", pa.array(rb, pa.int64()))
 
-    vc = vc.map_batches(add_rb, batch_format="pyarrow")
+    # materialized: the subtotal pass, the in-bucket rank resolve and
+    # the customer rejoin all consume vc — left lazy, the (seg, cents)
+    # exchange above re-executes once per consumer
+    vc = vc.map_batches(add_rb, batch_format="pyarrow").materialize()
 
     # phase 1: per (seg, range-bucket) subtotals → tiny driver table →
     # running-sum offsets + per-segment totals, broadcast once
@@ -5272,7 +5283,10 @@ def price_qty_spearman(sf_dir: str) -> pd.DataFrame:
         rb = b.column("cents").to_numpy() >> RSHIFT
         return b.append_column("rb", pa.array(rb, pa.int64()))
 
-    J = J.map_batches(add_rb, batch_format="pyarrow")
+    # materialized: the rb-subtotal pass and the moment pass both
+    # consume J — left lazy, the distinct-(flag,qty,cents) exchange
+    # re-executes per consumer
+    J = J.map_batches(add_rb, batch_format="pyarrow").materialize()
     sub = (J.groupby(["flag", "rb"])
            .aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
     sub = sub.sort_values(["flag", "rb"], kind="mergesort")

@@ -135,9 +135,12 @@ def bloom_semi_join(left, right, *, left_on: str, right_on: str,
     if num_buckets is None:
         num_buckets = _default_num_buckets()
 
+    # pinned: the bloom build and the verify exchange both consume the
+    # key column — left lazy, the right side (and whatever produced it)
+    # executes twice
     keys_only = right.map_batches(
         lambda b: b.select([right_on]), batch_format="pyarrow"
-    )
+    ).materialize()
     bloom_ref = ray.put(build_bloom(keys_only, right_on,
                                     num_bits=num_bits, num_hashes=num_hashes))
 

@@ -401,6 +401,10 @@ def anti_join_ids(ds, drop_ds, id_col: str = "doc_id", num_buckets: int | None =
 
         from .bloom import build_bloom
 
+        # pinned: the bloom build AND the exact exchange below both
+        # consume drop_only — left lazy, the drop-set derivation (often
+        # a CC/labels pipeline) re-executes
+        drop_only = drop_only.materialize()
         bloom_ref = ray.put(build_bloom(drop_only, id_col, num_bits=bloom_bits))
 
         def bloom_negative(batch: pa.Table) -> pa.Table:
