@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_oov_rate": R.source_oov_rate,
         # corpus-balance audit: Gini over the |sources|-bounded size table
         "source_size_gini": R.source_size_gini,
+        # distributed sweep-line: global prefix-max via bucket offsets
+        "peak_concurrent_events": R.peak_concurrent_events,
         # zone-map layout: manifest-planned range scan, pruned read tasks
         "zonemap_order_scan": R.zonemap_order_scan,
         # multimodal plumbing (rows-only)
@@ -1854,6 +1856,22 @@ def _oracle_sql_base() -> dict[str, str]:
                        WHERE w NOT IN (SELECT w FROM vocab)) AS DOUBLE)
                          / count(*), 6) AS oov_rate
             FROM toks GROUP BY source ORDER BY source
+        """,
+        "peak_concurrent_events": """
+            WITH d AS (
+              SELECT ts AS t, 1 AS delta FROM events
+              UNION ALL
+              SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta
+              FROM events),
+            r AS (SELECT t, delta,
+                         sum(delta) OVER (ORDER BY t, delta
+                                          ROWS UNBOUNDED PRECEDING) AS c
+                  FROM d),
+            m AS (SELECT max(c) AS peak FROM r)
+            SELECT CAST(m.peak AS BIGINT) AS peak,
+                   strftime(min(r.t) FILTER (WHERE r.c = m.peak),
+                            '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+            FROM r, m GROUP BY m.peak
         """,
         "source_size_gini": """
             WITH sz AS (SELECT source, CAST(count(*) AS BIGINT) AS s

@@ -2476,6 +2476,75 @@ def source_oov_rate(sf_dir: str, min_freq: int = 5,
     return out.sort_values("source").reset_index(drop=True)
 
 
+def peak_concurrent_events(sf_dir: str) -> pd.DataFrame:
+    """Distributed sweep-line: the peak number of concurrently-open
+    30-minute event windows and the first instant it is reached — the
+    capacity-planning / max-concurrency statistic, whose textbook
+    algorithm (sort all ±1 interval endpoints, running sum, max) needs
+    a GLOBAL ordered prefix sum.
+
+    Scale shape: no global sort.  The corpus exchanges only
+    (hour-bucket, endpoint, ±1) int deltas keyed by time-range bucket
+    (the zonemap discipline); phase 1 reduces per-bucket delta SUMS
+    map-side into a tiny driver table whose running sum seeds each
+    bucket's entry concurrency; phase 2 resolves every bucket's local
+    prefix-max independently under its offset (the
+    ``acctbal_percent_rank`` two-phase offset discipline applied to
+    time).  Tie rule shared with the SQL: at equal timestamps, closing
+    endpoints (−1) sort before opening ones (+1), so touching windows
+    never double-count; within runs of identical (t, δ) rows the
+    running-sum multiset is permutation-invariant, so the replica is
+    exact."""
+    ds = _t(sf_dir, "events", ["ts"])
+    W = pd.Timedelta(minutes=30)
+    NS_PER_HOUR = 3_600_000_000_000
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.concat([df["ts"], df["ts"] + W], ignore_index=True)
+        out = pd.DataFrame({
+            "t": t,
+            "delta": np.concatenate([
+                np.ones(len(df), np.int64), -np.ones(len(df), np.int64)]),
+        })
+        out["bucket"] = out["t"].astype("int64") // NS_PER_HOUR
+        return out
+
+    # materialized: the phase-1 sums and the phase-2 per-bucket resolve
+    # both consume the delta stream
+    dds = ds.map_batches(_arrowize(deltas), batch_format="pyarrow") \
+        .materialize()
+
+    def sum_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False).agg(sd=("delta", "sum"))
+
+    sums = _partial_groupby(dds, ["bucket"], sum_partials,
+                            [("sd", "i")]).to_pandas()
+    sums = sums.sort_values("bucket", kind="mergesort")
+    sums["offset"] = sums["sd"].cumsum() - sums["sd"]
+    off_ref = ray.put(dict(zip(sums["bucket"].astype(np.int64),
+                               sums["offset"].astype(np.int64))))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["bucket"].iat[0])]
+        g = g.sort_values(["t", "delta"], kind="mergesort")
+        c = off + g["delta"].cumsum().to_numpy(np.int64)
+        mc = int(c.max())
+        first_t = g["t"].to_numpy()[int(np.argmax(c == mc))]
+        return pd.DataFrame({"bucket": [int(g["bucket"].iat[0])],
+                             "mc": [np.int64(mc)],
+                             "first_t": [first_t]})
+
+    per_bucket = (dds.groupby("bucket")
+                  .map_groups(resolve, batch_format="pandas").to_pandas())
+    peak = int(per_bucket["mc"].max())
+    first_ts = per_bucket.loc[per_bucket["mc"] == peak, "first_t"].min()
+    return pd.DataFrame({
+        "peak": pd.Series([peak], dtype="int64"),
+        "first_peak_ts": [pd.Timestamp(first_ts).strftime(
+            "%Y-%m-%d %H:%M:%S")],
+    })
+
+
 def source_size_gini(sf_dir: str) -> pd.DataFrame:
     """Corpus-balance audit: Gini coefficient of per-source document
     counts — the one-number skew alarm a mixing pipeline watches (0 =

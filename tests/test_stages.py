@@ -2894,6 +2894,33 @@ def test_source_oov_rate_planted(tmp_path):
     assert got1.loc["s1", "n_oov"] == 4 and got1.loc["s2", "n_oov"] == 5
 
 
+def test_peak_concurrent_events_planted(tmp_path):
+    """Cross-bucket offset correctness (the peak spans an hour
+    boundary), and the close-before-open tie rule (a window ending
+    exactly when another opens never counts as concurrent)."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    # e1 opens 10:59, e2 opens 11:10 → both live in [11:10, 11:29) —
+    # the peak (2) is attained in hour-bucket 11, whose entry offset
+    # must carry e1's still-open +1 from bucket 10
+    ts = pd.to_datetime(["2024-01-01 10:59:00", "2024-01-01 11:10:00"])
+    pq.write_table(pa.table({"ts": pa.array(ts)}),
+                   str(tmp_path / "events.parquet"))
+    out = R.peak_concurrent_events(str(tmp_path))
+    assert out["peak"].iloc[0] == 2
+    assert out["first_peak_ts"].iloc[0] == "2024-01-01 11:10:00"
+
+    # touching windows: [12:00, 12:30) closes exactly as the next opens
+    ts = pd.to_datetime(["2024-01-01 12:00:00", "2024-01-01 12:30:00"])
+    pq.write_table(pa.table({"ts": pa.array(ts)}),
+                   str(tmp_path / "events.parquet"))
+    out = R.peak_concurrent_events(str(tmp_path))
+    assert out["peak"].iloc[0] == 1
+    assert out["first_peak_ts"].iloc[0] == "2024-01-01 12:00:00"
+
+
 def test_source_size_gini_planted(tmp_path):
     """Closed forms: equal sizes → 0; sizes (1, 9) → (2·(1·1+2·9) − 3·10)
     / (2·10) = 8/20 = 0.4."""
