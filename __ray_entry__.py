@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_size_gini": R.source_size_gini,
         # distributed sweep-line: global prefix-max via bucket offsets
         "peak_concurrent_events": R.peak_concurrent_events,
+        # interval-union length per user (closed-form, no merge loop)
+        "user_active_seconds": R.user_active_seconds,
         # zone-map layout: manifest-planned range scan, pruned read tasks
         "zonemap_order_scan": R.zonemap_order_scan,
         # multimodal plumbing (rows-only)
@@ -1856,6 +1858,19 @@ def _oracle_sql_base() -> dict[str, str]:
                        WHERE w NOT IN (SELECT w FROM vocab)) AS DOUBLE)
                          / count(*), 6) AS oov_rate
             FROM toks GROUP BY source ORDER BY source
+        """,
+        "user_active_seconds": """
+            WITH s AS (SELECT user_id, ts,
+                              lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts) AS nxt
+                       FROM events)
+            SELECT user_id,
+                   CAST(sum(CASE WHEN nxt IS NULL THEN 1800
+                                 ELSE least(CAST(date_diff('second', ts,
+                                                           nxt) AS BIGINT),
+                                            1800)
+                            END) AS BIGINT) AS active_seconds
+            FROM s GROUP BY user_id ORDER BY user_id
         """,
         "peak_concurrent_events": """
             WITH d AS (

@@ -2545,6 +2545,36 @@ def peak_concurrent_events(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def user_active_seconds(sf_dir: str) -> pd.DataFrame:
+    """Interval-union length per user: total seconds covered by the
+    union of the user's 30-minute activity windows — the "active
+    minutes" engagement metric, and the measure-of-union sibling of
+    ``peak_concurrent_events``'s sweep-line.
+
+    Identical-width windows admit a closed form with NO endpoint merge
+    loop: with starts sorted, union = Σ min(next−cur, W) + W — each gap
+    contributes its overlap-clipped width and the last window its full
+    W.  Exact integer seconds; duplicate timestamps contribute 0.
+    Scale shape: one user-keyed exchange of (user, ts) pairs (the
+    ``user_sessions`` shape) and a vectorized diff/clip/sum per group —
+    no per-interval Python."""
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+    W = np.int64(1800)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(g["ts"].to_numpy().astype("datetime64[s]").astype(np.int64))
+        gaps = np.minimum(np.diff(t), W)
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "active_seconds": [np.int64(gaps.sum() + W)],
+        })
+
+    out = (ds.groupby("user_id")
+           .map_groups(resolve, batch_format="pandas").to_pandas())
+    out["active_seconds"] = out["active_seconds"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def source_size_gini(sf_dir: str) -> pd.DataFrame:
     """Corpus-balance audit: Gini coefficient of per-source document
     counts — the one-number skew alarm a mixing pipeline watches (0 =

@@ -2921,6 +2921,30 @@ def test_peak_concurrent_events_planted(tmp_path):
     assert out["first_peak_ts"].iloc[0] == "2024-01-01 12:00:00"
 
 
+def test_user_active_seconds_planted(tmp_path):
+    """Closed forms: overlapping windows merge (gap < W clips), disjoint
+    windows add full W, duplicates add zero."""
+    import pyarrow.parquet as pq
+
+    from occular_ocr_ray.pipelines import relational as R
+
+    ts = pd.to_datetime([
+        # u1: 10:00 and 10:10 overlap → 600 + 1800 = 2400
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00",
+        # u2: 10:00 and 12:00 disjoint → 1800 + 1800 = 3600
+        "2024-01-01 10:00:00", "2024-01-01 12:00:00",
+        # u3: duplicate instant → 0 + 1800
+        "2024-01-01 10:00:00", "2024-01-01 10:00:00",
+    ])
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "ts": pa.array(ts),
+    }), str(tmp_path / "events.parquet"))
+    out = R.user_active_seconds(str(tmp_path))
+    assert dict(zip(out["user_id"], out["active_seconds"])) == {
+        1: 2400, 2: 3600, 3: 1800}
+
+
 def test_source_size_gini_planted(tmp_path):
     """Closed forms: equal sizes → 0; sizes (1, 9) → (2·(1·1+2·9) − 3·10)
     / (2·10) = 8/20 = 0.4."""
