@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrent_events": R.peak_concurrent_events,
         # interval-union length per user (closed-form, no merge loop)
         "user_active_seconds": R.user_active_seconds,
+        # order-dependent aggregate: string_agg with pinned within-group order
+        "region_nation_list": R.region_nation_list,
         # zone-map layout: manifest-planned range scan, pruned read tasks
         "zonemap_order_scan": R.zonemap_order_scan,
         # multimodal plumbing (rows-only)
@@ -1858,6 +1860,13 @@ def _oracle_sql_base() -> dict[str, str]:
                        WHERE w NOT IN (SELECT w FROM vocab)) AS DOUBLE)
                          / count(*), 6) AS oov_rate
             FROM toks GROUP BY source ORDER BY source
+        """,
+        "region_nation_list": """
+            SELECT r_name,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations,
+                   CAST(count(*) AS BIGINT) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
         """,
         "user_active_seconds": """
             WITH s AS (SELECT user_id, ts,

@@ -2575,6 +2575,38 @@ def user_active_seconds(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def region_nation_list(sf_dir: str) -> pd.DataFrame:
+    """Ordered list aggregate (SQL ``string_agg(x, ',' ORDER BY x)``):
+    per region, the alphabetized comma-joined nation names — the
+    order-DEPENDENT aggregate family, where parity requires pinning the
+    within-group order, not just the group membership.  Scale shape:
+    dims are driver-small here (broadcast-joined); the pattern at
+    corpus scale is the ``user_sessions`` one — group-keyed exchange,
+    per-group sort + join — with the aggregate's result bounded by the
+    group's value count."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    df = pd.DataFrame({
+        "r_name": [r2name[k] for k in nation["n_regionkey"].to_pylist()],
+        "n_name": nation["n_name"].to_pylist(),
+    })
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(g["n_name"])
+        return pd.DataFrame({"r_name": [g["r_name"].iloc[0]],
+                             "nations": [",".join(names)],
+                             "n_nations": [np.int64(len(names))]})
+
+    out = (rd.from_pandas(df).groupby("r_name")
+           .map_groups(agg, batch_format="pandas").to_pandas())
+    out["n_nations"] = out["n_nations"].astype(np.int64)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
 def source_size_gini(sf_dir: str) -> pd.DataFrame:
     """Corpus-balance audit: Gini coefficient of per-source document
     counts — the one-number skew alarm a mixing pipeline watches (0 =
