@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonemap_order_scan": R.zonemap_order_scan,
         # multimodal plumbing (rows-only)
         "media_decode": R.media_decode_q,
+        # multimodal chain: actor-pool resize -> embedding (pinned)
+        "media_pipeline": R.media_pipeline_q,
         # end-to-end corpus pipeline (extract → quality → dedup; rows-only)
         "corpus_pipeline": _corpus_pipeline,
         # continuous crawl ingestion (increments → cross-run dedup → corpus)
@@ -1707,6 +1709,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 "split_leakage": "id_a, id_b",
                 "embedding_neardup": "id_a, id_b",
                 "media_decode": "media_id",
+                "media_pipeline": "media_id",
                 "extract_pages": "url",
                 "corpus_pipeline": "url",
                 "approx_distinct_users": "event_type",

@@ -540,6 +540,50 @@ def media_decode_q(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def media_pipeline_q(sf_dir: str) -> pd.DataFrame:
+    """Multimodal chain demo: fake media → actor-pool Resize(32×24) →
+    actor-pool FeatureExtract(dim=8) → decoded metadata + the leading
+    feature components.  Exercises the full Ray-side plumbing of the
+    resize and embedding stages (binary column rewritten in place,
+    list<float32> feature column appended) — the real-codec / real-model
+    kernels slot into the same stages with zero schema changes (see
+    stages/multimodal.py)."""
+    from ..stages.multimodal import (
+        FeatureExtract,
+        Resize,
+        decode_media,
+        encode_fake_media,
+    )
+
+    rows = []
+    for i in range(120):
+        kind = i % 3
+        payload = bytes((i * 7 + j) % 251 for j in range(256 + (i % 5) * 64))
+        rows.append({
+            "media_id": i,
+            "media": encode_fake_media(kind, 64 + i, 48 + i, 10 + (i % 4),
+                                       payload),
+        })
+    ds = (rd.from_arrow(pa.Table.from_pylist(rows))
+          .map_batches(Resize(target_w=32, target_h=24),
+                       batch_format="pyarrow", batch_size=16)
+          .map_batches(FeatureExtract(dim=8), batch_format="pyarrow",
+                       batch_size=16))
+    out = ds.to_pandas()
+    meta = out["media"].map(decode_media)
+    res = pd.DataFrame({
+        "media_id": out["media_id"].astype(np.int64),
+        "width": out["width"].astype(np.int64),
+        "height": out["height"].astype(np.int64),
+        "n_bytes": meta.map(lambda m: m["n_bytes"]).astype(np.int64),
+        "checksum": meta.map(lambda m: m["checksum"]),
+    })
+    feats = np.asarray(out["embedding"].tolist(), dtype=np.float64)
+    for k in range(4):
+        res[f"feat{k}"] = _round_away(feats[:, k], 6)
+    return res.sort_values("media_id").reset_index(drop=True)
+
+
 # --- additional operator families (SURVEY.md §2.4/§2.6 extensions) -----
 def asof_prior_view(sf_dir: str) -> pd.DataFrame:
     """As-of join (custom operator Ray Data lacks): for every 'click'

@@ -172,6 +172,95 @@ class FrameSample:
         )
 
 
+class Resize:
+    """Actor stage: binary media column → resized binary media column
+    (plus emitted width/height columns).  For the FAKEMM1 container the
+    resize is REAL at the plumbing level — a new container is produced
+    with the target dimensions and a payload resampled to the implied
+    byte budget (nearest-index byte sampling: deterministic, size-
+    proportional, checksum-stable for identical inputs).  Real codec
+    resampling (PIL/cv2) would slot into ``_resize_one`` with zero
+    changes to the Ray-side schema, batch sizing, or actor signature;
+    with ``strict=False`` non-fake payloads pass through unchanged
+    (web-scale poison tolerance), ``strict=True`` raises."""
+
+    def __init__(self, media_col: str = "media", target_w: int = 256,
+                 target_h: int = 256, strict: bool = False) -> None:
+        self.media_col = media_col
+        self.target_w, self.target_h = int(target_w), int(target_h)
+        self.strict = strict
+
+    def _resize_one(self, raw: bytes) -> bytes | None:
+        if raw is None or not raw.startswith(FAKE_MAGIC):
+            if self.strict:
+                raise NotImplementedError(
+                    "real codec resize requires PIL/cv2 (not in this "
+                    "environment); supported here: FAKEMM1 container")
+            return raw
+        kind, w, h, n_frames = _HEADER.unpack_from(raw, len(FAKE_MAGIC))
+        payload = raw[len(FAKE_MAGIC) + _HEADER.size:]
+        # byte budget scales with the area ratio (the real op's memory
+        # shape); nearest-index sampling keeps it deterministic
+        if w and h and len(payload):
+            n_out = max(1, (len(payload) * self.target_w * self.target_h)
+                        // (w * h))
+            idx = [(i * len(payload)) // n_out for i in range(n_out)]
+            payload = bytes(payload[i] for i in idx)
+        return encode_fake_media(kind, self.target_w, self.target_h,
+                                 n_frames, payload)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self._resize_one(raw)
+               for raw in batch[self.media_col].to_pylist()]
+        batch = batch.drop_columns([self.media_col])
+        batch = batch.append_column(self.media_col,
+                                    pa.array(out, pa.binary()))
+        batch = batch.append_column(
+            "width", pa.array([self.target_w] * batch.num_rows, pa.int64()))
+        return batch.append_column(
+            "height", pa.array([self.target_h] * batch.num_rows, pa.int64()))
+
+
+class FeatureExtract:
+    """Actor stage: binary media column → fixed-dim float feature
+    vector (``list<float32>`` column) — the embedding step of an
+    image/audio similarity pipeline.  The kernel here is a
+    deterministic byte-histogram projection (256-bin histogram of the
+    payload, L2-normalized, folded to ``dim``): a stand-in with the
+    REAL model-stage shape — a heavyweight encoder would load its
+    weights ONCE in ``__init__`` (the actor-pool contract) and replace
+    ``_features`` only; schema, batch size, and downstream ANN
+    compatibility (``similarity.knn_*`` consume list<float>) are
+    unchanged."""
+
+    def __init__(self, media_col: str = "media", dim: int = 64,
+                 out_col: str = "embedding") -> None:
+        import numpy as np
+
+        self.media_col, self.dim, self.out_col = media_col, int(dim), out_col
+        self._np = np
+
+    def _features(self, raw: bytes):
+        np = self._np
+        if raw is None:
+            return None
+        body = raw[len(FAKE_MAGIC) + _HEADER.size:] \
+            if raw.startswith(FAKE_MAGIC) else raw
+        hist = np.bincount(
+            np.frombuffer(body, dtype=np.uint8), minlength=256
+        ).astype(np.float32) if len(body) else np.zeros(256, np.float32)
+        folded = hist.reshape(self.dim, 256 // self.dim).sum(axis=1) \
+            if 256 % self.dim == 0 else hist[: self.dim]
+        n = float(np.linalg.norm(folded))
+        return (folded / n if n else folded).tolist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._features(raw)
+                 for raw in batch[self.media_col].to_pylist()]
+        return batch.append_column(
+            self.out_col, pa.array(feats, pa.list_(pa.float32())))
+
+
 def decode_dataset(ds, media_col: str = "media", concurrency=None, batch_size: int = 16):
     """Media Dataset → metadata Dataset (actor pool, small batches for
     large binary payloads)."""

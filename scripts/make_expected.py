@@ -50,6 +50,8 @@ PINNED = [
     "semdedup_keep",
     "embedding_neardup",
     "media_decode",
+    # resize -> feature-extract chain: deterministic fake kernels
+    "media_pipeline",
     "extract_pages",
     "corpus_pipeline",
     # HLL is hash-deterministic and its register-max merge is

@@ -285,6 +285,53 @@ def test_media_decode_and_frame_sample():
     assert frames["frame_index"].tolist() == [0, 5, 10, 15]
 
 
+def test_media_resize_and_feature_extract():
+    """Resize rewrites the container with target dims and an
+    area-proportional byte budget (deterministic); FeatureExtract emits
+    a unit-norm list<float32> the ANN stages can consume; both pass
+    non-fake payloads through un-poisoned."""
+    import numpy as np
+    import ray.data as rd
+
+    from occular_ocr_ray.stages.multimodal import (
+        FeatureExtract,
+        Resize,
+        decode_media,
+        encode_fake_media,
+    )
+
+    payload = bytes(range(256)) * 4  # 1024 bytes at 64x48
+    rows = [
+        {"media_id": 0, "media": encode_fake_media(0, 64, 48, 1, payload)},
+        {"media_id": 1, "media": b"not-a-container"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (ds.map_batches(Resize(target_w=32, target_h=24),
+                          batch_format="pyarrow")
+           .to_pandas().sort_values("media_id"))
+    meta = decode_media(out["media"].iloc[0])
+    assert (meta["width"], meta["height"]) == (32, 24)
+    # byte budget scales with the area ratio: 1024 * (32*24)/(64*48) = 256
+    assert meta["n_bytes"] == 256
+    assert out["media"].iloc[1] == b"not-a-container"  # pass-through
+    # determinism: same input → same container bytes
+    out2 = (ds.map_batches(Resize(target_w=32, target_h=24),
+                           batch_format="pyarrow")
+            .to_pandas().sort_values("media_id"))
+    assert out2["media"].iloc[0] == out["media"].iloc[0]
+    # strict mode raises on the non-fake payload
+    with pytest.raises(Exception):
+        ds.map_batches(Resize, fn_constructor_kwargs={"strict": True},
+                       batch_format="pyarrow", concurrency=1).materialize()
+
+    feats = (ds.map_batches(FeatureExtract(dim=64), batch_format="pyarrow")
+             .to_pandas().sort_values("media_id"))
+    v = np.asarray(feats["embedding"].iloc[0], dtype=np.float32)
+    assert v.shape == (64,) and abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    # uniform payload bytes → uniform folded histogram
+    assert np.allclose(v, v[0])
+
+
 # --- HLL sketch --------------------------------------------------------
 def test_hll_kernel_accuracy():
     import numpy as np
